@@ -1,0 +1,80 @@
+"""Test harness configuration.
+
+Forces JAX onto a virtual 8-device CPU platform so every test — including the
+multi-chip sharding tests — runs without TPU hardware (SURVEY.md §4c).
+
+Also provides the ``reference`` fixture: the NumPy reference renderer imported
+from /root/reference as a behavioral oracle (we execute it for golden
+comparisons; we never copy its code). The reference has a dead ``numba`` import
+(triangular.py:3) and pre-NumPy-2.0 API usage, shimmed here.
+"""
+import os
+import sys
+import types
+
+# Must run before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+REFERENCE_OBJ = os.path.join(REFERENCE_ROOT, "obj")
+
+
+def _install_reference_shims():
+    # The reference imports numba but never uses it (triangular.py:3).
+    if "numba" not in sys.modules:
+        fake = types.ModuleType("numba")
+        fake.jit = lambda *a, **k: (lambda f: f) if not (a and callable(a[0])) else a[0]
+        sys.modules["numba"] = fake
+    # np.row_stack was removed in NumPy 2.0; the reference uses it
+    # (cube_map.py:78).
+    if not hasattr(np, "row_stack"):
+        np.row_stack = np.vstack
+
+
+class ReferenceModules:
+    """Lazily imported reference modules, path-shimmed."""
+
+    def __init__(self):
+        _install_reference_shims()
+        for p in (REFERENCE_ROOT, REFERENCE_OBJ):
+            if p not in sys.path:
+                sys.path.insert(0, p)
+        import obj.constants as constants          # noqa: F401
+        import transformation                      # noqa: F401
+        import plane_intersection                  # noqa: F401
+        import core                                # noqa: F401
+        import triangular                          # noqa: F401
+        import cube_map                            # noqa: F401
+        from obj.lightning import Lightning        # noqa: F401
+
+        self.constants = constants
+        self.transformation = transformation
+        self.plane_intersection = plane_intersection
+        self.core = core
+        self.triangular = triangular
+        self.cube_map = cube_map
+        self.Lightning = Lightning
+
+
+_REF = None
+
+
+@pytest.fixture(scope="session")
+def reference():
+    global _REF
+    if _REF is None:
+        _REF = ReferenceModules()
+    return _REF
+
+
+@pytest.fixture(scope="session")
+def diablo_path():
+    return os.path.join(REFERENCE_OBJ, "diablo3_pose", "diablo3_pose.obj")

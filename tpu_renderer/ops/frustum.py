@@ -1,0 +1,169 @@
+"""Frustum-plane math and polygon clipping.
+
+TPU-native equivalent of the reference's ``obj/plane_intersection.py``:
+Gribb–Hartmann plane extraction from an MVP matrix (row-vector convention, so
+planes come from matrix *columns*), and Sutherland–Hodgman polygon clipping.
+
+The reference clips one polygon at a time with Python lists
+(plane_intersection.py:59-86). Here clipping is a **fixed-size, jit-traceable**
+kernel over padded vertex buffers, so thousands of shadow-volume quads clip in one
+vectorized device op (``jax.vmap(clip_polygon)``): each plane pass emits, per input
+edge, up to two candidate vertices (current vertex if visible; edge/plane
+intersection on visibility change) and compacts them with a prefix-sum scatter —
+the same output order as the reference's sequential appends.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "normalize_plane", "extract_frustum_planes", "line_plane_intersection",
+    "is_visible", "clipping", "clip_polygon", "get_parameterized",
+    "LEFT", "RIGHT", "BOTTOM", "TOP", "NEAR", "FAR", "P_MAX",
+]
+
+# Plane indices (reference plane_intersection.py:10-15).
+LEFT, RIGHT, BOTTOM, TOP, NEAR, FAR = range(6)
+
+#: Padded vertex capacity for clipped polygons. A convex quad clipped by 6 planes
+#: has at most 4 + 6 = 10 vertices; 16 leaves slack.
+P_MAX = 16
+
+
+def normalize_plane(plane):
+    """Scale plane coefficients to unit norm (plane_intersection.py:17-21)."""
+    plane = jnp.asarray(plane)
+    return plane / jnp.linalg.norm(plane)
+
+
+def extract_frustum_planes(matrix):
+    """Frustum planes [left, right, bottom, top, near, far] from a row-vector MVP.
+
+    Gribb–Hartmann extraction (reference plane_intersection.py:43-56): with the
+    row-vector convention, plane k is a combination of the matrix's *columns*.
+    """
+    m = jnp.asarray(matrix)
+    col = lambda i: m[..., i]
+    planes = jnp.stack([
+        col(3) + col(0),   # left
+        col(3) - col(0),   # right
+        col(3) + col(1),   # bottom
+        col(3) - col(1),   # top
+        col(3) + col(2),   # near
+        col(3) - col(2),   # far
+    ])
+    return planes / jnp.linalg.norm(planes, axis=-1, keepdims=True)
+
+
+def line_plane_intersection(p1, p2, plane):
+    """Intersection of segment ``p1 -> p2`` with a plane.
+
+    Jit-traceable version of plane_intersection.py:24-36: returns
+    ``(point, valid)`` instead of ``None``; ``valid`` is False for parallel
+    segments (|denominator| < 1e-10) or intersections outside [0, 1].
+    """
+    p1 = jnp.asarray(p1)
+    p2 = jnp.asarray(p2)
+    direction = p2 - p1
+    denom = jnp.asarray(plane) @ direction
+    parallel = jnp.abs(denom) < 1e-10
+    weight = -(jnp.asarray(plane) @ p1) / jnp.where(parallel, 1.0, denom)
+    valid = (~parallel) & (weight >= 0) & (weight <= 1)
+    return p1 + weight * direction, valid
+
+
+def is_visible(point, plane):
+    """Half-space test (plane_intersection.py:39-40)."""
+    return jnp.asarray(plane) @ jnp.asarray(point) >= 0
+
+
+def _clip_one_plane(verts, count, plane):
+    """One Sutherland–Hodgman pass over a padded polygon.
+
+    verts: (P_MAX, 4) float32 padded vertex buffer; count: active vertex count.
+    Emits per input edge i < count: the current vertex when visible, then the
+    edge/plane intersection on a visibility transition — exactly the reference's
+    append order (plane_intersection.py:69-83). Candidates are compacted into the
+    output buffer by a prefix-sum scatter.
+    """
+    n = verts.shape[0]
+    idx = jnp.arange(n)
+    active = idx < count
+    nxt_idx = jnp.where(idx + 1 >= count, 0, idx + 1)
+    cur = verts
+    nxt = verts[nxt_idx]
+
+    dist_cur = cur @ plane
+    dist_nxt = nxt @ plane
+    cur_vis = dist_cur >= 0
+    nxt_vis = dist_nxt >= 0
+
+    # Intersection of (nxt -> cur) with the plane, matching the reference's
+    # argument order line_plane_intersection(next_vertex, current_vertex, plane).
+    direction = cur - nxt
+    denom = direction @ plane
+    parallel = jnp.abs(denom) < 1e-10
+    weight = -dist_nxt / jnp.where(parallel, 1.0, denom)
+    ip = nxt + weight[:, None] * direction
+    ip_valid = (~parallel) & (weight >= 0) & (weight <= 1)
+
+    emit_cur = active & cur_vis
+    emit_ip = active & (cur_vis ^ nxt_vis) & ip_valid
+
+    # Interleave candidates in reference order: cur_0, ip_0, cur_1, ip_1, ...
+    cand = jnp.stack([cur, ip], axis=1).reshape(2 * n, 4)
+    flags = jnp.stack([emit_cur, emit_ip], axis=1).reshape(2 * n)
+    pos = jnp.cumsum(flags) - 1
+    out_count = flags.sum()
+    # Scatter kept candidates to their compacted slots; dropped ones go to a
+    # scratch slot past the end (drop semantics of .at[...] with mode='drop').
+    pos = jnp.where(flags, pos, n)
+    out = jnp.zeros((n + 1, 4), verts.dtype).at[pos].set(cand, mode="drop")
+    return out[:n], out_count
+
+
+def clip_polygon(verts, count, planes):
+    """Clip a padded convex polygon by a stack of planes, fully on device.
+
+    verts: (P_MAX, 4); count: scalar int; planes: (K, 4).
+    Returns (clipped_verts (P_MAX, 4), new_count).
+    """
+    verts = jnp.asarray(verts, jnp.float32)
+    count = jnp.asarray(count, jnp.int32)
+    planes = jnp.asarray(planes, jnp.float32)
+
+    def body(carry, plane):
+        v, c = carry
+        v2, c2 = _clip_one_plane(v, c, plane)
+        return (v2, c2.astype(jnp.int32)), None
+
+    (verts, count), _ = jax.lax.scan(body, (verts, count), planes)
+    return verts, count
+
+
+def clipping(polygon_vertices, clipping_planes):
+    """Reference-compatible wrapper (plane_intersection.py:59-86).
+
+    Takes an (N, 4) polygon, returns the clipped (M, 4) polygon as a *host*
+    numpy-style array (M dynamic). Useful outside jit (debug overlays, tests).
+    """
+    import numpy as np
+
+    poly = np.asarray(polygon_vertices, dtype=np.float64)
+    n = len(poly)
+    padded = np.zeros((P_MAX, 4), np.float32)
+    padded[:n] = poly
+    verts, count = clip_polygon(padded, n, np.asarray(clipping_planes))
+    count = int(count)
+    return np.asarray(verts)[:count]
+
+
+def get_parameterized(planes):
+    """Print planes as GeoGebra-pasteable equations (plane_intersection.py:89-97)."""
+    import numpy as np
+
+    for plane in np.asarray(planes):
+        coords = "xyz "
+        eq = " + ".join(f"{coef:.2f}{var}" for coef, var in zip(plane, coords))
+        print(eq.replace("+ -", "- ") + "= 0")
