@@ -1,0 +1,132 @@
+"""Asset IO layer vs the reference oracle (SURVEY.md §7 step 2)."""
+import os
+
+import numpy as np
+import pytest
+
+from tpu_renderer.models.material import Material
+from tpu_renderer.models.model import EdgeTable, Model
+from tpu_renderer.models import gizmos
+from tpu_renderer.ops import transforms as T
+
+CUBE_PATH = "/root/reference/obj/obj_loader_test/cube.obj"
+
+
+@pytest.fixture(scope="module")
+def diablo(diablo_path):
+    return Model.load_model(diablo_path)
+
+
+def test_load_diablo_matches_reference(reference, diablo, diablo_path):
+    ref = reference.core.Model.load_model(diablo_path)
+    np.testing.assert_array_equal(diablo.vertices, ref.vertices)
+    np.testing.assert_array_equal(diablo.uv, ref.uv)
+    np.testing.assert_array_equal(diablo.normals, ref.normals)
+    np.testing.assert_array_equal(diablo.faces, ref._faces)
+    assert diablo.vertices.shape == (2519, 4)
+    assert diablo.faces.shape[0] == 5022  # SURVEY.md §6 geometry facts
+
+
+def test_load_cube_with_mtl(reference):
+    ours = Model.load_model(CUBE_PATH)
+    ref = reference.core.Model.load_model(CUBE_PATH)
+    np.testing.assert_array_equal(ours.vertices, ref.vertices)
+    np.testing.assert_array_equal(ours.faces, ref._faces)
+    assert set(ours.materials) == set(ref.materials)
+    assert ours.material_group == ref.material_group
+    # MTL scalar/vector coercion parity for a parsed material.
+    for name, mat in ref.materials.items():
+        for key in ("Ns", "Ka", "Kd", "Ks"):
+            if key in mat.__dict__:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(ours.materials[name], key)),
+                    np.asarray(getattr(mat, key)))
+
+
+def test_texture_register_matches_reference(reference, diablo, diablo_path):
+    ref = reference.core.Model.load_model(diablo_path)
+    base = os.path.dirname(diablo_path)
+    for m, normalize in ((diablo, True), (ref, True)):
+        m.textures.register("normals", os.path.join(base, "diablo3_pose_nm_tangent.tga"),
+                            tangent=True)
+        m.textures.register("diffuse", os.path.join(base, "diablo3_pose_diffuse.tga"),
+                            normalize=False)
+    ours_mat, ref_mat = diablo.materials["default"], ref.materials["default"]
+    np.testing.assert_allclose(ours_mat.map_Kd, ref_mat.map_Kd, atol=1e-6)
+    np.testing.assert_allclose(ours_mat.norm, ref_mat.norm, atol=1e-6)
+    assert ours_mat.norm.dtype.metadata["tangent"] is True
+    assert diablo.normal_map_is_tangent
+
+
+def test_material_alias_fixed():
+    m = Material()
+    # Reference's alias path raises TypeError (materials.py:75); ours resolves.
+    np.testing.assert_array_equal(m.diffuse, m.Kd)
+    m.map_Kd = np.zeros((2, 2, 3), np.float32)
+    assert m.diffuse is m.map_Kd
+    with pytest.raises(AttributeError):
+        m.not_an_attribute  # noqa: B018
+
+
+def test_matmul_is_pure(diablo):
+    before = diablo.vertices.copy()
+    moved = diablo @ T.scale(2.0) @ T.translation([1, 0, 0])
+    np.testing.assert_array_equal(diablo.vertices, before)
+    assert moved is not diablo
+    expected = before @ np.asarray(T.scale(2.0)) @ np.asarray(T.translation([1, 0, 0]))
+    np.testing.assert_allclose(moved.vertices, expected, atol=1e-4)
+
+
+def _reference_silhouette(reference, model, light):
+    container = set()
+    for face in model.faces:
+        reference.triangular.shadow_volumes(face, light, container)
+    return container
+
+
+def test_edge_table_silhouette_parity(reference, diablo, diablo_path):
+    """Batched parity silhouette == reference's per-face XOR set."""
+    ref_model = reference.core.Model.load_model(diablo_path)
+    light = reference.core.Light(position=(5, 5, 0), center=(0, 0.5, 0.5))
+    ref_silhouette = _reference_silhouette(reference, ref_model, light)
+
+    et = diablo.edge_table
+    fv = diablo.faces[:, :, 0]
+    v = diablo.vertices[:, :3]
+    a, b, c = v[fv[:, 0]], v[fv[:, 1]], v[fv[:, 2]]
+    n = np.cross(b - a, c - a)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+    light_facing = n @ np.asarray(light.position, np.float32) > 0
+
+    inc_lf = np.repeat(light_facing, 3)
+    parity = np.zeros(et.num_edges, np.int64)
+    np.add.at(parity, et.incidence_edge, inc_lf.astype(np.int64))
+    ours = {frozenset(et.incidence_dir[i])
+            for i in range(len(et.incidence_edge))
+            if parity[et.incidence_edge[i]] % 2 == 1}
+    theirs = {frozenset(e) for e in ref_silhouette}
+    assert ours == theirs
+    assert len(theirs) > 100  # sanity: a real silhouette
+
+
+def test_edge_table_direction_semantics(diablo):
+    """Every incidence direction is one of the edge's two orientations."""
+    et = diablo.edge_table
+    fv = diablo.faces[:, :, 0]
+    assert et.incidence_edge.shape == (3 * len(fv),)
+    assert et.incidence_dir.shape == (3 * len(fv), 2)
+    # Directed pairs reconstruct the face loops.
+    np.testing.assert_array_equal(
+        et.incidence_dir[:, 0].reshape(-1, 3), fv)
+    np.testing.assert_array_equal(
+        et.incidence_dir[:, 1].reshape(-1, 3), np.roll(fv, -1, axis=1))
+
+
+def test_gizmos_well_formed():
+    for m in (gizmos.make_floor(), gizmos.make_sphere(6, 8),
+              gizmos.make_cube(), gizmos.make_camera_gizmo()):
+        assert m.vertices.ndim == 2 and m.vertices.shape[1] == 4
+        assert m.faces.ndim == 3 and m.faces.shape[1:] == (3, 4)
+        assert m.faces[:, :, 0].max() < len(m.vertices)
+        et = m.edge_table  # adjacency builds without error
+        assert et.num_edges > 0

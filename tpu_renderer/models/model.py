@@ -1,0 +1,296 @@
+"""Wavefront OBJ models: loading, textures, transforms, and edge adjacency.
+
+Host-side asset pipeline with the reference's public surface
+(``Model.load_model`` core.py:257-318, ``Model.parse_mtl`` core.py:320-348,
+``TextureMaps`` core.py:77-105, ``model @ scale(...) @ translation(...)``
+core.py:350-352) producing struct-of-arrays ready to land on device.
+
+Deviations from the reference (deliberate, SURVEY.md §2 quirks):
+- ``__matmul__`` is **pure**: returns a new Model, does not mutate in place.
+- No mutable ``silhouette`` set. Silhouette extraction is a batched device
+  computation over the precomputed :class:`EdgeTable` (built once per mesh),
+  replacing the per-face Python XOR loop (reference triangular.py:294-302).
+- The ``tangent`` flag for normal maps is an explicit attribute
+  (``Model.normal_map_is_tangent``) in addition to the reference's dtype
+  metadata trick (core.py:94, read back at core.py:180).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tpu_renderer.models.material import Material
+
+__all__ = ["Model", "TextureMaps", "EdgeTable", "triangulate_int", "load_texture"]
+
+
+def triangulate_int(polygon):
+    """Fan-triangulate a polygon's index rows (reference core.py:72-74)."""
+    for i in range(len(polygon) - 2):
+        yield np.array([polygon[0], *polygon[1 + i: 3 + i]], dtype=np.int32)
+
+
+def load_texture(name):
+    """Image file -> (H, W, 3) float32 RGB in [0, 1] (reference core.py:100-105)."""
+    from PIL import Image
+
+    texture = Image.open(name).convert("RGB")
+    return np.asarray(texture, dtype=np.float32) / 255.0
+
+
+class TextureMaps:
+    """Friendly-name texture registration (reference core.py:77-98).
+
+    ``register('diffuse'|'ambient'|'specular'|'shininess'|'transparency'|'normals',
+    path, normalize=, tangent=)`` loads the image and attaches it to the model's
+    'default' material under the corresponding MTL key. ``normalize=True`` maps
+    [0,1] -> [-1,1] (for normal maps); ``tangent=True`` marks a tangent-space
+    normal map.
+    """
+
+    texture_map = {
+        "diffuse": "map_Kd",
+        "ambient": "map_Ka",
+        "specular": "map_Ks",
+        "shininess": "map_Ns",
+        "transparency": "map_d",
+        "normals": "norm",
+    }
+
+    def __init__(self, model: "Model"):
+        self.model = model
+
+    def register(self, attr_name: str, path, normalize=True, tangent=False):
+        if attr_name not in self.texture_map:
+            raise ValueError(
+                f"{attr_name} not recognized.\nSupported: {self.texture_map.keys()}")
+        texture = load_texture(path)
+        if normalize:
+            texture = texture * 2 - 1
+        # Keep the reference's dtype-metadata channel (core.py:94) alongside the
+        # explicit flag, for API compatibility.
+        dt = np.dtype(np.float32, metadata={"tangent": tangent})
+        setattr(self.model.materials["default"], self.texture_map[attr_name],
+                np.asarray(texture, dtype=dt))
+        if self.texture_map[attr_name] == "norm":
+            self.model.normal_map_is_tangent = tangent
+
+    load_texture = staticmethod(load_texture)
+
+
+@dataclass(frozen=True)
+class EdgeTable:
+    """Unique-edge / face-incidence table for batched silhouette extraction.
+
+    The reference finds silhouette edges by XOR-ing the 3 edges of every
+    light-facing face into a Python set (triangular.py:286-302): an edge
+    survives iff an odd number of adjacent light-facing faces touch it, and the
+    surviving ``Edge`` tuple keeps the vertex order of the *last* face that
+    added it.
+
+    Device equivalent: for each of the mesh's ``3F`` face-edge incidences we
+    store the unique-edge id and the directed vertex pair; per frame a
+    ``segment_sum`` of the light-facing mask over edge ids gives the parity
+    (odd = silhouette) and a ``segment_max`` over incidence indices picks the
+    last light-facing face's direction — O(1) per edge on device instead of
+    Python set churn.
+    """
+
+    num_edges: int
+    #: (3F,) int32 unique-edge id of each face-edge incidence, face-major order.
+    incidence_edge: np.ndarray
+    #: (3F, 2) int32 directed vertex ids (v[i], v[(i+1)%3]) per incidence.
+    incidence_dir: np.ndarray
+
+    @staticmethod
+    def build(face_vertex_ids: np.ndarray) -> "EdgeTable":
+        """face_vertex_ids: (F, 3) int32 vertex indices per triangle."""
+        fv = np.asarray(face_vertex_ids, dtype=np.int64)
+        a = fv                                  # (F, 3) edge starts
+        b = np.roll(fv, -1, axis=1)             # (F, 3) edge ends
+        lo = np.minimum(a, b).ravel()
+        hi = np.maximum(a, b).ravel()
+        keys = lo << 32 | hi                    # canonical undirected key
+        _, edge_ids = np.unique(keys, return_inverse=True)
+        directed = np.stack([a.ravel(), b.ravel()], axis=1).astype(np.int32)
+        return EdgeTable(
+            num_edges=int(edge_ids.max()) + 1 if edge_ids.size else 0,
+            incidence_edge=edge_ids.astype(np.int32),
+            incidence_dir=directed,
+        )
+
+
+class Model:
+    """A loaded mesh: vertices (N, 4) f32, uv (T, 3), normals (M, 3), faces
+    (F, 3, 4) int32 [vertex, uv, normal, material] per corner — the same array
+    layout as the reference (core.py:231-318).
+
+    ``model @ matrix`` returns a **new** Model with transformed vertices
+    (chainable: ``model @ scale(s) @ translation(t) @ rotate_xyz(r)``).
+    """
+
+    def __init__(self, vertices, uv, normals, faces, shadowing: bool = False,
+                 materials: Optional[Dict[str, Material]] = None,
+                 material_group: Optional[List[str]] = None,
+                 clip: bool = True, depth_test: bool = True):
+        self.vertices = np.asarray(vertices, dtype=np.float32)
+        self.uv = None if uv is None else np.asarray(uv, dtype=np.float32)
+        self.normals = None if normals is None else np.asarray(normals, dtype=np.float32)
+        self._faces = np.asarray(faces)
+        self.shadowing = shadowing
+        self.clip = clip
+        self.depth_test = depth_test
+        self.materials = materials or {"default": Material()}
+        self.material_group = material_group or ["default"]
+        self.textures = TextureMaps(self)
+        self.normal_map_is_tangent = False
+        self._edge_table: Optional[EdgeTable] = None
+
+    # ------------------------------------------------------------------ IO
+
+    @classmethod
+    def load_model(cls, name, shadowing: bool = True) -> "Model":
+        """Parse a Wavefront OBJ file (https://paulbourke.net/dataformats/obj/).
+
+        Same grammar subset and index conventions as the reference
+        (core.py:257-318): ``v`` padded to w=1, ``vt`` padded to 3 components,
+        polygons fan-triangulated, the active material's group index appended
+        as a 4th column per corner, 1-based indices shifted to 0-based with
+        negative (relative) indices passed through.
+        """
+        vertices, faces, normals, uv = [], [], [], []
+        mtl = "default"
+        mtl_group = ["default"]
+        materials: Dict[str, Material] = {"default": Material()}
+        with open(name) as file:
+            for line in file:
+                tokens = line.split()
+                if not tokens:
+                    continue
+                tag = tokens[0]
+                if tag == "mtllib":
+                    mtl_path = os.path.join(os.path.dirname(name), tokens[1])
+                    if os.path.exists(mtl_path):
+                        materials |= cls.parse_mtl(mtl_path)
+                elif tag == "usemtl":
+                    mtl = tokens[1]
+                    if mtl not in mtl_group:
+                        mtl_group.append(mtl)
+                elif tag == "v":
+                    v = tokens[1:]
+                    if len(v) == 3:
+                        v.append(1)
+                    vertices.append(v)
+                elif tag == "f":
+                    corners = []
+                    for corner in tokens[1:]:
+                        idx = [(-1 if part == "" else int(part))
+                               for part in corner.split("/")]
+                        idx += [-1] * (3 - len(idx))        # pad missing vt/vn
+                        idx.append(mtl_group.index(mtl) + 1)
+                        corners.append(idx)
+                    faces.extend(triangulate_int(corners))
+                elif tag == "vn":
+                    normals.append(tokens[1:])
+                elif tag == "vt":
+                    t = tokens[1:]
+                    if len(t) == 2:
+                        t.append(0)
+                    uv.append(t)
+
+        vertices = np.array(vertices, dtype=np.float32)
+        faces = np.array(faces, dtype=np.int32)
+        faces = np.where(faces > 0, faces - 1, faces)
+        normals = np.array(normals, dtype=np.float32) if normals else None
+        uv = np.array(uv, dtype=np.float32) if uv else None
+        return cls(vertices, uv, normals, faces, shadowing,
+                   materials=materials, material_group=mtl_group)
+
+    @staticmethod
+    def parse_mtl(mtllib) -> Dict[str, Material]:
+        """Parse an MTL library (reference core.py:320-348).
+
+        ``map_*``/``disp`` entries load textures from disk relative to the MTL
+        file; ``map_bump`` becomes ``norm`` with tangent-space metadata; missing
+        texture files produce a warning, matching core.py:344.
+        """
+        mtl_lib: Dict[str, Material] = {}
+        material = None
+        with open(mtllib) as lib:
+            for line in lib:
+                if line.startswith("#") or not line.strip():
+                    continue
+                key, *val = line.split()
+                if key == "newmtl":
+                    material = Material()
+                    mtl_lib[val[0]] = material
+                    continue
+                if material is None:
+                    continue
+                if key.startswith("map") or key == "disp":
+                    path = os.path.join(os.path.dirname(mtllib), val[0])
+                    if os.path.exists(path):
+                        tangent = key == "map_bump"
+                        if tangent:
+                            key = "norm"
+                        dt = np.dtype(np.float32, metadata={"tangent": tangent})
+                        setattr(material, key,
+                                np.asarray(load_texture(path), dtype=dt))
+                    else:
+                        print(f"{key} {path} is not found. Recommend manually "
+                              f"assign texture by descriptor Model.texture.register")
+                else:
+                    setattr(material, key, val)
+        return mtl_lib
+
+    # ---------------------------------------------------------- transforms
+
+    def __matmul__(self, other) -> "Model":
+        """Apply a 4x4 row-vector transform; returns a NEW Model (pure).
+
+        The reference mutates in place (core.py:350-352); purity here keeps
+        models reusable across scenes and plays well with traced pipelines.
+        """
+        out = self._shallow_copy()
+        out.vertices = np.asarray(self.vertices @ np.asarray(other, np.float64),
+                                  dtype=np.float32)
+        return out
+
+    def _shallow_copy(self) -> "Model":
+        out = Model.__new__(Model)
+        out.__dict__.update(self.__dict__)
+        out.textures = TextureMaps(out)
+        return out
+
+    # ------------------------------------------------------------ geometry
+
+    @property
+    def faces(self) -> np.ndarray:
+        """(F, 3, 4) int32 corner index array [vertex, uv, normal, material]."""
+        return self._faces
+
+    @property
+    def num_faces(self) -> int:
+        return len(self._faces)
+
+    @property
+    def edge_table(self) -> EdgeTable:
+        """Unique-edge incidence table (built once, cached)."""
+        if self._edge_table is None:
+            self._edge_table = EdgeTable.build(self._faces[:, :, 0])
+        return self._edge_table
+
+    def face_material(self) -> np.ndarray:
+        """(F,) int32 material-group index per face."""
+        return self._faces[:, 0, 3].astype(np.int32)
+
+    def default_material(self) -> Material:
+        return self.materials["default"]
+
+    def material_for_group(self, group_index: int) -> Material:
+        """Material bound to a material-group index (reference core.py:125)."""
+        name = self.material_group[group_index]
+        return self.materials.get(name, self.materials["default"])
