@@ -1,0 +1,38 @@
+"""tpu_renderer: a TPU-native 3D software rendering engine in JAX/XLA/Pallas.
+
+Public API mirrors the reference NumPy renderer (Denizantip/py-numpy-renderer):
+
+    from tpu_renderer import Model, Camera, Light, Scene, CubeMap, Lightning
+    from tpu_renderer import scale, translation, rotate, rotate_xyz
+    from tpu_renderer import SYSTEM, SUBSYSTEM, PROJECTION_TYPE
+
+    model = Model.load_model("diablo3_pose.obj")
+    model.textures.register("diffuse", "diablo3_pose_diffuse.tga", normalize=False)
+    model = model @ scale(1.0) @ translation([0, 0, 0]) @ rotate_xyz([0, 15, 0])
+    scene = Scene(Camera((0.5, 3, 5), center=(0, 0, 0)), Light((5, 5, 0)),
+                  resolution=(1024, 1024), system=SYSTEM.LH,
+                  subsystem=SUBSYSTEM.OPENGL, shadows=True)
+    scene.add_model(model)
+    frame = scene.render()          # (H, W, 3) uint8
+"""
+from tpu_renderer.constants import PROJECTION_TYPE, SUBSYSTEM, SYSTEM
+from tpu_renderer.models.camera import Camera, Light
+from tpu_renderer.models.model import Model
+from tpu_renderer.models.scene import Scene
+from tpu_renderer.ops.cubemap import CubeMap
+from tpu_renderer.ops.lightning import Lightning
+from tpu_renderer.ops.pipeline import (SHADER_FLAT, SHADER_GENERAL,
+                                       SHADER_GOURAUD, SHADER_PBR,
+                                       SHADER_WIREFRAME)
+from tpu_renderer.ops.transforms import (rotate, rotate_xyz, scale,
+                                         translation)
+
+__all__ = [
+    "Model", "Camera", "Light", "Scene", "CubeMap", "Lightning",
+    "scale", "translation", "rotate", "rotate_xyz",
+    "SYSTEM", "SUBSYSTEM", "PROJECTION_TYPE",
+    "SHADER_GENERAL", "SHADER_FLAT", "SHADER_GOURAUD", "SHADER_PBR",
+    "SHADER_WIREFRAME",
+]
+
+__version__ = "0.1.0"

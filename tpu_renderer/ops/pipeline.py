@@ -1,0 +1,289 @@
+"""The whole-frame device program: one jitted computation per frame.
+
+Replaces the reference's host-side render orchestration (Scene.render,
+core.py:587-640 — three Python loops over faces plus buffer mutation) with a
+single traced pipeline:
+
+    vertex stage (per model, batched matmuls)      ops/vertex.py
+    -> global face batch (all models concatenated)
+    -> visibility buffer (z + winning face id)     ops/raster_xla.py / pallas
+    -> shadow stencil (signed crossing counts)     ops/shadow.py
+    -> deferred shading (pixel-parallel)           ops/shading.py
+    -> background + vertical flip + gamma 0.8 + uint8 quantize (core.py:640)
+
+Static configuration (resolution, handedness, subsystem, shader, per-model
+flags, texture presence) lives in a hashable ``SceneConfig``; everything that
+can change per frame (camera/light parameters, vertex positions, textures) is a
+traced argument, so camera orbits and animated models never recompile.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_renderer.constants import PROJECTION_TYPE, SYSTEM
+from tpu_renderer.models.camera import camera_matrices
+from tpu_renderer.ops import shading as sh
+from tpu_renderer.ops.lightning import Lightning
+from tpu_renderer.ops.raster_xla import render_visibility
+from tpu_renderer.ops.transforms import normalize
+from tpu_renderer.ops.vertex import gather_faces, transform_vertices
+
+__all__ = ["SceneConfig", "ModelConfig", "render_frame", "SHADER_GENERAL",
+           "SHADER_FLAT", "SHADER_GOURAUD", "SHADER_PBR", "SHADER_WIREFRAME"]
+
+SHADER_GENERAL = "general"
+SHADER_FLAT = "flat"
+SHADER_GOURAUD = "gouraud"
+SHADER_PBR = "pbr"
+SHADER_WIREFRAME = "wireframe"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static per-model facts baked into the compiled program."""
+    num_faces: int                 # padded face count
+    clip: bool                     # per-pixel clip test (reference Model.clip)
+    depth_test: bool               # z-buffer writes (reference Model.depth_test)
+    shadowing: bool                # casts shadow volumes
+    has_vn: bool                   # vertex normals present
+    has_uv: bool
+    has_map_kd: bool
+    has_map_ks: bool
+    has_norm: bool
+    num_edges: int = 0             # padded silhouette-edge count
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    """Static scene facts: the jit specialization key."""
+    resolution: Tuple[int, int]    # (height, width)
+    system: int                    # SYSTEM.LH (-1) / SYSTEM.RH (+1)
+    subsystem: int
+    shadows: bool
+    shader: str
+    background: str                # 'color' | 'cubemap'
+    cam_projection_type: int
+    backface_culling: bool
+    has_debug_camera: bool
+    dbg_projection_type: int
+    light_type: Lightning
+    models: Tuple[ModelConfig, ...]
+    chunk: int = 8
+    backend: str = "xla"           # 'xla' | 'pallas'
+
+
+def _cam_matrices(cfg: SceneConfig, cam, projection_type):
+    return camera_matrices(
+        cam["position"], cam["center"], cam["up"], cam["fovy"], cam["near"],
+        cam["far"], projection_type=projection_type, system=cfg.system,
+        subsystem=cfg.subsystem, resolution=cfg.resolution)
+
+
+def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp):
+    """Vertex stage + per-face gathers for every model, concatenated."""
+    height, width = cfg.resolution
+    raster_parts = []
+    attr_parts = []
+    offset = 0
+    for mc, md in zip(cfg.models, dyn["models"]):
+        verts = md["verts"]
+        va = transform_vertices(verts, cam_m["MVP"], cam_m["viewport"],
+                                dyn["camera"]["near"], dyn["camera"]["far"])
+        vid = md["vid"]
+        f = gather_faces(va, vid, height, width, cfg.backface_culling)
+        F = mc.num_faces
+
+        world = verts[vid][..., :3]                     # (F, 3, 3)
+        fn_raw = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
+        face_normal = normalize(fn_raw)                 # (F, 3) world normal
+
+        if mc.has_vn:
+            vn = md["vn"]
+        else:
+            # Faces without vertex normals shade with the face normal
+            # (reference Face.get_normals fallback, core.py:186-187).
+            vn = jnp.broadcast_to(face_normal[:, None, :], (F, 3, 3))
+
+        raster = {
+            "sx": f["sx"], "sy": f["sy"], "szlin": f["szlin"],
+            "inv_w": f["inv_w"], "clip": f["clip"], "denom": f["denom"],
+            "bbox": f["bbox"],
+            "valid": f["valid"] & md["pad_valid"],
+            "clip_en": jnp.full((F,), mc.clip),
+            "z_write": jnp.full((F,), mc.depth_test),
+            "gid": jnp.arange(F, dtype=jnp.int32) + offset,
+        }
+        if cfg.has_debug_camera:
+            clip_dbg = jnp.matmul(verts, dbg_mvp,
+                                  precision="highest")[vid]
+            raster["clip_dbg"] = clip_dbg
+
+        attrs = {
+            "sx": f["sx"], "sy": f["sy"], "inv_w": f["inv_w"],
+            "szlin": f["szlin"],
+            "world": world, "vn": vn, "face_normal": face_normal,
+            "uv": md["uv"], "kd": md["kd"], "ks": md["ks"], "ns": md["ns"],
+            "kd_slot": md["kd_slot"], "ks_slot": md["ks_slot"],
+            "norm_slot": md["norm_slot"], "norm_tangent": md["norm_tangent"],
+            "kd_shape": md["kd_shape"], "ks_shape": md["ks_shape"],
+            "norm_shape": md["norm_shape"],
+            "model_id": jnp.full((F,), len(raster_parts), jnp.int32),
+            "pm": md["pm"], "pr": md["pr"], "ka": md["ka"],
+        }
+        raster_parts.append(raster)
+        attr_parts.append(attrs)
+        offset += F
+
+    cat = lambda parts: jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    return cat(raster_parts), cat(attr_parts)
+
+
+def _sample_stack(stack, slot, row, col):
+    """Gather from a padded texture stack: stack (N, TH, TW, C) indexed by
+    per-pixel (slot, row, col)."""
+    return stack[jnp.clip(slot, 0), row, col]
+
+
+def _stack_uv_index(pb, uv, shape_hw):
+    """Reference get_UV (core.py:138-143) with per-pixel texture shapes.
+
+    shape_hw: (H, W, 2) float32 real (TH, TW) of each pixel's material map.
+    Returns integer (row, col) with numpy-style negative wrap.
+    """
+    iu = jnp.sum(pb * uv[..., 0], axis=-1)
+    iv = jnp.sum(pb * uv[..., 1], axis=-1)
+    th = shape_hw[..., 0]
+    tw = shape_hw[..., 1]
+    col = (jnp.clip(iu, max=1.0) * (tw - 1)).astype(jnp.int32)
+    row = ((1.0 - jnp.clip(iv, max=1.0)) * (th - 1)).astype(jnp.int32)
+    col = col % tw.astype(jnp.int32)
+    row = row % th.astype(jnp.int32)
+    return row, col
+
+
+def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m):
+    """Deferred shading of the whole frame from the visibility buffer."""
+    height, width = cfg.resolution
+    fid = jnp.clip(tid, 0)
+    bg = tid < 0
+
+    g = lambda name: attrs[name][fid]
+    sx, sy, inv_w = g("sx"), g("sy"), g("inv_w")
+    bar, pb = sh.pixel_barycentric(sx, sy, inv_w)
+
+    world = g("world")                              # (H, W, 3, 3)
+    frag_world = jnp.einsum("...k,...kc->...c", pb, world)
+
+    uv = g("uv")                                    # (H, W, 3, 2)
+    model_id = g("model_id")
+
+    # ---- object color: per-face Kd, overridden by each model's diffuse stack.
+    color = g("kd")
+    for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
+        if not mc.has_map_kd:
+            continue
+        row, col = _stack_uv_index(pb, uv, g("kd_shape"))
+        sampled = _sample_stack(md["kd_stack"], g("kd_slot"), row, col)
+        mask = (model_id == m) & (g("kd_slot") >= 0)
+        color = jnp.where(mask[..., None], sampled, color)
+
+    # ---- normals: vertex-normal interpolation, overridden by normal maps.
+    vn = g("vn")                                    # (H, W, 3, 3)
+    normal = normalize(jnp.einsum("...k,...kc->...c", pb, vn))
+    for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
+        if not mc.has_norm:
+            continue
+        row, col = _stack_uv_index(pb, uv, g("norm_shape"))
+        sampled = _sample_stack(md["norm_stack"], g("norm_slot"), row, col)
+        tangent_n = sh.tangent_basis_normal(sampled, pb, world, uv, vn)
+        mapped = jnp.where(g("norm_tangent")[..., None], tangent_n, sampled)
+        mask = (model_id == m) & (g("norm_slot") >= 0)
+        normal = jnp.where(mask[..., None], normalize(mapped), normal)
+
+    # ---- specular factor: Ks * 255 or specular-map red channel * 255
+    # (reference Face.get_specular, core.py:145-153).
+    specular_light = g("ks") * 255.0
+    for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
+        if not mc.has_map_ks:
+            continue
+        row, col = _stack_uv_index(pb, uv, g("ks_shape"))
+        sampled = _sample_stack(md["ks_stack"], g("ks_slot"), row, col)
+        mask = (model_id == m) & (g("ks_slot") >= 0)
+        specular_light = jnp.where(mask[..., None],
+                                   sampled[..., 0:1] * 255.0, specular_light)
+
+    light = dict(dyn["light"])
+    light["light_type"] = cfg.light_type
+    light["direction"] = normalize(
+        light["position"] - light["center"]).ravel()
+
+    if cfg.shader == SHADER_GENERAL:
+        pix = {
+            "color": color, "normal": normal, "frag_world": frag_world,
+            "specular_light": specular_light, "ns": g("ns")[..., None],
+        }
+        shadows_mask = (stencil != 0) if cfg.shadows else None
+        rgb = sh.shade_general(pix, light, dyn["camera"]["position"],
+                               shadows_mask=shadows_mask)
+    elif cfg.shader == SHADER_FLAT:
+        rgb = sh.shade_flat(g("face_normal"), light)
+    elif cfg.shader == SHADER_GOURAUD:
+        rgb = sh.shade_gouraud(bar, vn, light)
+    elif cfg.shader == SHADER_PBR:
+        # The reference's pbr shader runs after rasterize replaced vertex z
+        # with linearized depth (triangular.py:96, 220-266): positions here are
+        # post-viewport (x, y, z_lin).
+        szlin_pos = jnp.stack([sx, sy, g("szlin")], axis=-1)
+        pix = {
+            "normal_raw": normalize(jnp.einsum("...k,...kc->...c", bar, vn)),
+            "screen_pos": jnp.einsum("...k,...kc->...c", bar, szlin_pos),
+            "metallic": g("pm")[..., None], "roughness": g("pr")[..., None],
+            "ao": g("ka"),
+        }
+        rgb = sh.shade_pbr(pix, light, dyn["camera"]["position"])
+    else:
+        raise ValueError(f"unknown shader {cfg.shader!r}")
+
+    # ---- background (reference core.py:595-600).
+    if cfg.background == "color":
+        background = jnp.broadcast_to(dyn["background_color"],
+                                      (height, width, 3))
+    else:
+        from tpu_renderer.ops.cubemap import fill_frame_from_skybox
+        background = fill_frame_from_skybox(
+            dyn["skybox"], cam_m, cfg.resolution)
+    return jnp.where(bg[..., None], background, rgb)
+
+
+def render_frame(cfg: SceneConfig, dyn):
+    """The per-frame device program. Returns (frame_u8, zbuf, tid, stencil)."""
+    height, width = cfg.resolution
+    cam_m = _cam_matrices(cfg, dyn["camera"], cfg.cam_projection_type)
+    dbg_mvp = None
+    if cfg.has_debug_camera:
+        dbg_mvp = _cam_matrices(cfg, dyn["debug_camera"],
+                                cfg.dbg_projection_type)["MVP"]
+
+    faces, attrs = _build_face_batch(cfg, dyn, cam_m, dbg_mvp)
+    zbuf, tid = render_visibility(faces, height, width, cfg.system,
+                                  chunk=cfg.chunk)
+
+    if cfg.shadows:
+        from tpu_renderer.ops.shadow import shadow_stencil
+        stencil = shadow_stencil(cfg, dyn, cam_m, zbuf)
+    else:
+        stencil = jnp.zeros((height, width), jnp.int32)
+
+    frame = _shade(cfg, dyn, tid, stencil, attrs, cam_m)
+
+    # Vertical flip + gamma 0.8 + quantize (reference core.py:640).
+    out = (jnp.clip(frame[::-1] ** 0.8, 0.0, 1.0) * 255).astype(jnp.uint8)
+    return out, zbuf, tid, stencil
+
+
+render_frame_jit = jax.jit(render_frame, static_argnames=("cfg",))

@@ -1,0 +1,160 @@
+"""XLA visibility-buffer rasterizer (portable reference path).
+
+Architecture (SURVEY.md §7): instead of the reference's per-face Python loop
+with three mutable-buffer passes (core.py:603-636), the frame is resolved as a
+**visibility buffer** — per pixel, the id of the winning triangle — after which
+all shading is pixel-parallel (ops/shading.py). Two streamed passes over the
+face batch, each a ``lax.scan`` carrying an (H, W) plane:
+
+- *z pass* (reference pass 1's depth writes, triangular.py:96-118): for every
+  z-writing face, coverage ∧ sign-aware depth test against the evolving
+  z-buffer, sequential face order preserved so equal-depth ties resolve to the
+  later face exactly like the reference's read-modify-write loop.
+- *id pass* (reference pass 3's re-test against the final z-buffer,
+  triangular.py:99-109): every face (including non-depth-writing ones) claims
+  pixels where coverage ∧ final-z test passes; later faces overwrite — the
+  reference's overdraw semantics.
+
+Coverage folds the reference's per-pixel work: barycentric inside test
+(triangular.py:74-78), integer bbox window (mgrid over the ceil'd clamped box,
+:68-72), and the per-pixel clip-space test ``-w < x,y,z < w`` with
+perspective-corrected barycentric weights (:80-91), optionally against a debug
+camera's clip space as well.
+
+This path is brute-force O(F·H·W) — it exists for CPU-testable correctness and
+as the oracle for the Pallas TPU kernel (ops/raster_pallas.py), which does the
+same math tile-binned.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["face_fragments", "zbuffer_pass", "visibility_pass", "render_visibility"]
+
+
+def face_fragments(face, rows, cols, with_clip_test):
+    """Coverage mask and interpolated depth for ONE face over the full frame.
+
+    face: dict of per-face scalars/vectors (see ops/vertex.gather_faces, plus
+    ``clip_en`` bool and optionally ``clip_dbg``).
+    rows: (H, 1) float32 pixel row coordinates (screen y).
+    cols: (1, W) float32 pixel column coordinates (screen x).
+
+    Returns (cov (H, W) bool, z (H, W) f32).
+    """
+    sx, sy = face["sx"], face["sy"]
+    ax, ay = sx[0], sy[0]
+    v0x, v0y = sx[1] - ax, sy[1] - ay
+    v1x, v1y = sx[2] - ax, sy[2] - ay
+    d00 = v0x * v0x + v0y * v0y
+    d01 = v0x * v1x + v0y * v1y
+    d11 = v1x * v1x + v1y * v1y
+    inv_denom = 1.0 / face["denom"]
+
+    # Pixel grid relative to vertex a; broadcasting keeps everything (H, W).
+    v2x = cols - ax
+    v2y = rows - ay
+    d20 = v2x * v0x + v2y * v0y
+    d21 = v2x * v1x + v2y * v1y
+    v = (d11 * d20 - d01 * d21) * inv_denom
+    w = (d00 * d21 - d01 * d20) * inv_denom
+    u = 1.0 - v - w
+
+    inside = (u >= 0) & (v >= 0) & (w >= 0)
+    box = face["bbox"]
+    window = ((cols >= box[0]) & (cols < box[1]) &
+              (rows >= box[2]) & (rows < box[3]))
+    cov = inside & window & face["valid"]
+
+    if with_clip_test:
+        # Perspective-corrected weights (reference core.py:155-160): 1/w-scaled
+        # barycentric renormalized by the interpolated 1/w.
+        iw = face["inv_w"]
+        sw = u * iw[0] + v * iw[1] + w * iw[2]
+        pb0 = u * iw[0] / sw
+        pb1 = v * iw[1] / sw
+        pb2 = w * iw[2] / sw
+        ok = jnp.ones_like(cov)
+        spaces = [face["clip"]]
+        if "clip_dbg" in face:
+            spaces.append(face["clip_dbg"])
+        for cs in spaces:
+            cxp = pb0 * cs[0, 0] + pb1 * cs[1, 0] + pb2 * cs[2, 0]
+            cyp = pb0 * cs[0, 1] + pb1 * cs[1, 1] + pb2 * cs[2, 1]
+            czp = pb0 * cs[0, 2] + pb1 * cs[1, 2] + pb2 * cs[2, 2]
+            cwp = pb0 * cs[0, 3] + pb1 * cs[1, 3] + pb2 * cs[2, 3]
+            ok &= ((-cwp < cxp) & (cxp < cwp) &
+                   (-cwp < cyp) & (cyp < cwp) &
+                   (-cwp < czp) & (czp < cwp))
+        # Models with clip=False skip the test (reference triangular.py:80).
+        cov &= ok | ~face["clip_en"]
+
+    z = u * face["szlin"][0] + v * face["szlin"][1] + w * face["szlin"][2]
+    return cov, z
+
+
+def _chunked(faces, chunk):
+    """Reshape every (G, ...) leaf to (G/chunk, chunk, ...) for lax.scan."""
+    def r(a):
+        return a.reshape(a.shape[0] // chunk, chunk, *a.shape[1:])
+    return jax.tree_util.tree_map(r, faces)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "sign", "chunk"))
+def zbuffer_pass(faces, height, width, sign, chunk=8):
+    """Depth pre-pass: final z-buffer in sign space (z * sign, min-combine).
+
+    Matches reference pass 1 z writes (triangular.py:117-118): only faces with
+    ``z_write`` update; the test is ``z_buffer >= z`` (RH) / ``<=`` (LH), both
+    expressed as ``zb' >= z'`` with z' = z*sign.
+    """
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(width, dtype=jnp.float32)[None, :]
+    zb0 = jnp.full((height, width), jnp.inf, jnp.float32)
+
+    def body(zb, chunk_faces):
+        for k in range(chunk):
+            face = jax.tree_util.tree_map(lambda a: a[k], chunk_faces)
+            cov, z = face_fragments(face, rows, cols, with_clip_test=True)
+            zs = z * sign
+            upd = cov & (zb >= zs) & face["z_write"]
+            zb = jnp.where(upd, zs, zb)
+        return zb, None
+
+    zb, _ = jax.lax.scan(body, zb0, _chunked(faces, chunk))
+    return zb
+
+
+@partial(jax.jit, static_argnames=("height", "width", "sign", "chunk"))
+def visibility_pass(faces, zb_sign, height, width, sign, chunk=8):
+    """Resolve the winning face id per pixel against the FINAL z-buffer.
+
+    Reference pass 3 semantics (triangular.py:99-109 without the stencil mask,
+    which applies at shading time): claim where coverage ∧ z-test vs final
+    z-buffer; later faces overwrite (model/face order).
+    Returns tid (H, W) int32, -1 where no face claims the pixel.
+    """
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(width, dtype=jnp.float32)[None, :]
+    tid0 = jnp.full((height, width), -1, jnp.int32)
+
+    def body(tid, chunk_faces):
+        for k in range(chunk):
+            face = jax.tree_util.tree_map(lambda a: a[k], chunk_faces)
+            cov, z = face_fragments(face, rows, cols, with_clip_test=True)
+            upd = cov & (zb_sign >= z * sign)
+            tid = jnp.where(upd, face["gid"], tid)
+        return tid, None
+
+    tid, _ = jax.lax.scan(body, tid0, _chunked(faces, chunk))
+    return tid
+
+
+def render_visibility(faces, height, width, sign, chunk=8):
+    """Full visibility resolve: (z-buffer in real z space, tid)."""
+    zb_sign = zbuffer_pass(faces, height, width, sign, chunk)
+    tid = visibility_pass(faces, zb_sign, height, width, sign, chunk)
+    return zb_sign * sign, tid

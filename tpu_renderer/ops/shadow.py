@@ -1,0 +1,219 @@
+"""Stencil shadow volumes, batched on device.
+
+The reference's dominant cost (README.md:4): pass 2 of Scene.render extrudes
+every silhouette edge into a quad and rasterizes it into a signed stencil
+buffer with Python loops (core.py:608-622, triangular.py:286-370). Here the
+whole thing is one traced computation:
+
+1. **Silhouette extraction** — the reference XORs the 3 edges of every
+   light-facing face into a set (triangular.py:294-302). With the precomputed
+   EdgeTable (models/model.py) this becomes: parity of the light-facing mask
+   segment-summed over unique-edge ids (odd = silhouette), with the surviving
+   edge's vertex order taken from the *last* light-facing incidence
+   (segment_max), matching the set's add/discard order semantics. The facing
+   test is ``normal @ light.position > 0`` — position, not direction — exactly
+   like triangular.py:295.
+2. **Extrusion** (core.py:613-621) — replicated arithmetically, including the
+   reference's homogeneous quirk for directional lights where the appended
+   w=1 makes the extruded points w=2 (projectively halving the extrusion).
+   Spot lights take the directional branch, as in the reference's if/else.
+3. **Clipping** — each quad is Sutherland–Hodgman-clipped against all six
+   world-space frustum planes (triangular.py:320), vectorized with the
+   fixed-size clipper (ops/frustum.py) under vmap.
+4. **Stencil rasterization** (triangular.py:319-368) — point-in-convex-polygon
+   by per-edge cross-product sign (front: all > 0, back: all < 0), plane-
+   equation depth + linearization, sign-aware z-test against the final
+   z-buffer, then a **signed, order-independent sum**: +1 for front faces, -1
+   for back faces. Order independence is what makes this a clean parallel
+   reduction instead of the reference's sequential read-modify-write.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_renderer.ops.frustum import clip_polygon
+from tpu_renderer.ops.lightning import Lightning
+from tpu_renderer.ops.transforms import matmul, normalize
+from tpu_renderer.ops.vertex import linearize_z
+
+__all__ = ["silhouette_edges", "extrude_quads", "shadow_stencil"]
+
+#: Padded vertex capacity for a quad clipped by 6 planes (4 + 6 = 10 max).
+QUAD_PMAX = 12
+
+
+def silhouette_edges(verts, vid, pad_valid, inc_edge, inc_dir, inc_valid,
+                     light_position, num_edges):
+    """Per-edge silhouette mask + directed vertex ids.
+
+    verts: (V, 4); vid: (Fp, 3); pad_valid: (Fp,); inc_edge/(inc_dir)/(inc_valid):
+    (3Fp,) / (3Fp, 2) / (3Fp,) incidence arrays; num_edges: static padded count.
+    Returns (silhouette (E,) bool, a_vid (E,), b_vid (E,)).
+    """
+    world = verts[vid][..., :3]
+    n = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
+    light_facing = (n @ light_position > 0) & pad_valid          # (Fp,)
+
+    inc_lf = jnp.repeat(light_facing, 3) & inc_valid             # (3Fp,)
+    parity = jax.ops.segment_sum(inc_lf.astype(jnp.int32), inc_edge,
+                                 num_segments=num_edges)
+    silhouette = (parity & 1) == 1
+
+    order = jnp.where(inc_lf, jnp.arange(inc_lf.shape[0], dtype=jnp.int32), -1)
+    last = jax.ops.segment_max(order, inc_edge, num_segments=num_edges)
+    last = jnp.clip(last, 0)
+    ab = inc_dir[last]                                           # (E, 2)
+    return silhouette, ab[:, 0], ab[:, 1]
+
+
+def extrude_quads(verts, a_vid, b_vid, light, light_type):
+    """Silhouette edges -> shadow quads (A, B, D, C), reference core.py:613-621."""
+    A = verts[a_vid]                                             # (E, 4)
+    B = verts[b_vid]
+    if light_type == Lightning.POINT_LIGHTNING:
+        lp = jnp.concatenate([light["position"], jnp.ones(1, jnp.float32)])
+        C = A + 1000.0 * normalize(A - lp)
+        D = B + 1000.0 * normalize(B - lp)
+    else:
+        # Directional/spot: w gets +1 on top of the vertex's w=1 — the
+        # reference's tuple-append quirk, preserved for pixel parity.
+        direction = normalize(light["position"] - light["center"]).ravel()
+        ext = jnp.concatenate([direction * -1000.0, jnp.ones(1, jnp.float32)])
+        C = A + ext
+        D = B + ext
+    return jnp.stack([A, B, D, C], axis=1)                       # (E, 4, 4)
+
+
+def _masked_bound_box(xs, ys, active, height, width):
+    """bound_box (transformation.py:35-43) over the active polygon vertices."""
+    big = jnp.float32(jnp.inf)
+    min_x = jnp.maximum(jnp.min(jnp.where(active, xs, big), axis=-1), 0)
+    max_x = jnp.minimum(jnp.max(jnp.where(active, xs, -big), axis=-1), width)
+    min_y = jnp.maximum(jnp.min(jnp.where(active, ys, big), axis=-1), 0)
+    max_y = jnp.minimum(jnp.max(jnp.where(active, ys, -big), axis=-1), height)
+    valid = ~((min_x > max_x) | (min_y > max_y))
+    box = jnp.ceil(jnp.stack([min_x, max_x, min_y, max_y], -1)).astype(jnp.int32)
+    return box, valid
+
+
+def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
+                    height, width):
+    """Signed stencil contribution of ONE clipped shadow polygon, full frame.
+
+    poly: (QUAD_PMAX, 4) world-space clipped polygon; count: active verts;
+    ok: scalar bool (silhouette ∧ count >= 3); zb_sign: (H, W) final z-buffer
+    in sign space. Returns (H, W) int32 in {-1, 0, +1}.
+    """
+    n = poly.shape[0]
+    slots = jnp.arange(n)
+    active = slots < count
+
+    sx = poly[:, 0]
+    sy = poly[:, 1]
+
+    # Plane from the first three vertices (triangular.py:328-333).
+    a3 = poly[0, :3]
+    nrm = jnp.cross(a3 - poly[1, :3], a3 - poly[2, :3])
+    is_front = nrm[2] < 0
+    Ax, By, Cz = nrm[0], nrm[1], nrm[2]
+    D = -(a3 @ nrm)
+
+    box, box_valid = _masked_bound_box(sx, sy, active, height, width)
+    window = ((cols >= box[0]) & (cols < box[1]) &
+              (rows >= box[2]) & (rows < box[3]))
+
+    # Point-in-convex-polygon by edge cross signs (triangular.py:305-316):
+    # front faces require every cross > 0, back faces every cross < 0.
+    nxt = jnp.where(slots + 1 >= count, 0, slots + 1)
+    px0, py0 = sx, sy
+    px1, py1 = sx[nxt], sy[nxt]
+    inside = jnp.ones(rows.shape[0:1] + cols.shape[1:2], bool)
+    for i in range(n):
+        cross = ((cols - px0[i]) * (py1[i] - py0[i]) -
+                 (rows - py0[i]) * (px1[i] - px0[i]))
+        edge_ok = jnp.where(is_front, cross > 0, cross < 0)
+        inside &= edge_ok | ~active[i]
+
+    # Plane-equation depth + linearization (triangular.py:351-354).
+    z = -(Ax * cols + By * rows + D) / Cz
+    z = linearize_z(z, near, far)
+    zs = z * sign
+    pass_z = zb_sign >= zs
+
+    contrib = jnp.where(is_front, jnp.int32(1), jnp.int32(-1))
+    mask = inside & window & pass_z & ok & box_valid
+    return jnp.where(mask, contrib, 0)
+
+
+def shadow_stencil(cfg, dyn, cam_m, zbuf):
+    """Full-frame signed stencil buffer for all shadow-casting models.
+
+    Honors Model.shadowing (the reference never consults it, SURVEY.md §2
+    quirk 2) and Scene(shadows=) — this function only runs when shadows are on.
+    """
+    height, width = cfg.resolution
+    sign = cfg.system
+    light = dyn["light"]
+    near = dyn["camera"]["near"]
+    far = dyn["camera"]["far"]
+
+    quads, flags = [], []
+    for mc, md in zip(cfg.models, dyn["models"]):
+        if not mc.shadowing or mc.num_edges == 0:
+            continue
+        sil, a_vid, b_vid = silhouette_edges(
+            md["verts"], md["vid"], md["pad_valid"], md["inc_edge"],
+            md["inc_dir"], md["inc_valid"], light["position"], mc.num_edges)
+        quads.append(extrude_quads(md["verts"], a_vid, b_vid, light,
+                                   cfg.light_type))
+        flags.append(sil)
+    if not quads:
+        return jnp.zeros((height, width), jnp.int32)
+
+    quad = jnp.concatenate(quads, axis=0)                        # (E, 4, 4)
+    sil = jnp.concatenate(flags, axis=0)                         # (E,)
+
+    # World-space Sutherland-Hodgman clip vs all 6 frustum planes
+    # (triangular.py:320), vectorized over every quad.
+    padded = jnp.zeros((quad.shape[0], QUAD_PMAX, 4), jnp.float32)
+    padded = padded.at[:, :4].set(quad)
+    counts = jnp.full(quad.shape[0], 4, jnp.int32)
+    planes = cam_m["frustum_planes"]
+    clipped, counts = jax.vmap(lambda v, c: clip_polygon(v, c, planes))(
+        padded, counts)
+    ok = sil & (counts >= 3)
+
+    # Project to screen: MVP -> /w -> viewport (triangular.py:325-327).
+    ndc = matmul(clipped, cam_m["MVP"])
+    screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
+
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(width, dtype=jnp.float32)[None, :]
+    zb_sign = zbuf * sign
+
+    chunk = cfg.chunk
+    E = screen.shape[0]
+    pad = (-E) % chunk
+    if pad:
+        screen = jnp.concatenate(
+            [screen, jnp.zeros((pad, QUAD_PMAX, 4), screen.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros(pad, counts.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros(pad, bool)])
+
+    nchunk = screen.shape[0] // chunk
+    xs = (screen.reshape(nchunk, chunk, QUAD_PMAX, 4),
+          counts.reshape(nchunk, chunk),
+          ok.reshape(nchunk, chunk))
+
+    def body(stencil, chunk_xs):
+        scr, cnt, okc = chunk_xs
+        for k in range(chunk):
+            stencil = stencil + _quad_fragments(
+                scr[k], cnt[k], okc[k], zb_sign, rows, cols, sign,
+                near, far, height, width)
+        return stencil, None
+
+    stencil0 = jnp.zeros((height, width), jnp.int32)
+    stencil, _ = jax.lax.scan(body, stencil0, xs)
+    return stencil
