@@ -12,13 +12,20 @@ import os
 import sys
 import types
 
-# Must run before jax is imported anywhere.
+# Must run before the jax backend initializes. pytest plugins (jaxtyping) may
+# already have imported jax's config module, freezing env defaults — so set
+# both the env vars and the live config.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -92,14 +92,14 @@ def sample_cubemap(textures, vectors):
     return textures[side, iu, iv]
 
 
-def _corner_barycentric(corners_xy, height, width):
+def _corner_barycentric(corners_xy, height, width, row0=0):
     """Screen barycentric of every pixel w.r.t. an int-cast NDC triangle.
 
     Matches fill_frame_from_skybox's ``barycentric(*test[XY].astype(int), p)``
     (cube_map.py:89) over the full pixel grid. Returns (bar (H, W, 3), cover).
     """
     cols = jnp.arange(width, dtype=jnp.float32)[None, :]
-    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None] + row0
     c = corners_xy.astype(jnp.int32).astype(jnp.float32)
     ax, ay = c[0, 0], c[0, 1]
     v0x, v0y = c[1, 0] - ax, c[1, 1] - ay
@@ -119,7 +119,7 @@ def _corner_barycentric(corners_xy, height, width):
     return bar, (bar >= 0).all(axis=-1)
 
 
-def fill_frame_from_skybox(skybox, cam_m, resolution):
+def fill_frame_from_skybox(skybox, cam_m, resolution, row0=0):
     """Full-frame skybox background (reference cube_map.py:83-101).
 
     skybox: dict with ``textures`` (6, T, T, 3).
@@ -138,7 +138,7 @@ def fill_frame_from_skybox(skybox, cam_m, resolution):
     for i in range(2):
         face = faces[i]
         screen = matmul(face, cam_m["viewport"])
-        bar, cover = _corner_barycentric(screen[:, :2], height, width)
+        bar, cover = _corner_barycentric(screen[:, :2], height, width, row0)
         rays = matmul(face, inv_vp)
         rays = rays / rays[:, 3:4]
         ray_dirs = jnp.einsum("hwk,kc->hwc", bar, rays[:, :3])

@@ -83,19 +83,26 @@ def _cam_matrices(cfg: SceneConfig, cam, projection_type):
         subsystem=cfg.subsystem, resolution=cfg.resolution)
 
 
-def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp):
-    """Vertex stage + per-face gathers for every model, concatenated."""
+def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
+    """Vertex stage + per-face gathers for every model, concatenated.
+
+    ``tris_idx`` supports triangle sharding over a mesh axis: face arrays
+    arrive pre-sharded, and global face ids are shard-major
+    (tris_idx * G_local + local index) so they index the all-gathered
+    attribute arrays directly. Depth ties between equal-z faces on different
+    shards then resolve shard-major instead of strictly model-major — a
+    sub-pixel-rare deviation.
+    """
     height, width = cfg.resolution
     raster_parts = []
     attr_parts = []
-    offset = 0
     for mc, md in zip(cfg.models, dyn["models"]):
         verts = md["verts"]
         va = transform_vertices(verts, cam_m["MVP"], cam_m["viewport"],
                                 dyn["camera"]["near"], dyn["camera"]["far"])
         vid = md["vid"]
         f = gather_faces(va, vid, height, width, cfg.backface_culling)
-        F = mc.num_faces
+        F = vid.shape[0]                    # local (possibly sharded) count
 
         world = verts[vid][..., :3]                     # (F, 3, 3)
         fn_raw = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
@@ -115,7 +122,6 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp):
             "valid": f["valid"] & md["pad_valid"],
             "clip_en": jnp.full((F,), mc.clip),
             "z_write": jnp.full((F,), mc.depth_test),
-            "gid": jnp.arange(F, dtype=jnp.int32) + offset,
         }
         if cfg.has_debug_camera:
             clip_dbg = jnp.matmul(verts, dbg_mvp,
@@ -136,11 +142,13 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp):
         }
         raster_parts.append(raster)
         attr_parts.append(attrs)
-        offset += F
 
     cat = lambda parts: jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    return cat(raster_parts), cat(attr_parts)
+    raster, attrs = cat(raster_parts), cat(attr_parts)
+    g_local = raster["sx"].shape[0]
+    raster["gid"] = jnp.arange(g_local, dtype=jnp.int32) + tris_idx * g_local
+    return raster, attrs
 
 
 def _sample_stack(stack, slot, row, col):
@@ -166,15 +174,15 @@ def _stack_uv_index(pb, uv, shape_hw):
     return row, col
 
 
-def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m):
+def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
     """Deferred shading of the whole frame from the visibility buffer."""
-    height, width = cfg.resolution
+    height, width = tid.shape[0], cfg.resolution[1]
     fid = jnp.clip(tid, 0)
     bg = tid < 0
 
     g = lambda name: attrs[name][fid]
     sx, sy, inv_w = g("sx"), g("sy"), g("inv_w")
-    bar, pb = sh.pixel_barycentric(sx, sy, inv_w)
+    bar, pb = sh.pixel_barycentric(sx, sy, inv_w, row0)
 
     world = g("world")                              # (H, W, 3, 3)
     frag_world = jnp.einsum("...k,...kc->...c", pb, world)
@@ -256,31 +264,77 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m):
     else:
         from tpu_renderer.ops.cubemap import fill_frame_from_skybox
         background = fill_frame_from_skybox(
-            dyn["skybox"], cam_m, cfg.resolution)
+            dyn["skybox"], cam_m, (height, width), row0)
     return jnp.where(bg[..., None], background, rgb)
 
 
-def render_frame(cfg: SceneConfig, dyn):
-    """The per-frame device program. Returns (frame_u8, zbuf, tid, stencil)."""
+def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
+                axis_rows=None, axis_tris=None):
+    """Render the (possibly row/triangle-sharded) frame BEFORE flip/quantize.
+
+    Single chip: ``render_core(cfg, dyn)`` computes the whole frame.
+
+    Under ``shard_map`` over a ('rows', 'tris') mesh: each shard rasterizes its
+    face subset over its row block; z-buffers combine with ``pmin`` (depth is
+    an associative min-reduce, SURVEY.md §5.8), winning ids with a
+    z-match + ``pmax`` argmin-style combine, stencil counts with ``psum``
+    (signed crossing counts commute), and shading attributes ``all_gather``
+    over the triangle axis. Collectives ride ICI; no host round-trips.
+
+    Returns (frame f32 (local_H, W, 3), zbuf, tid, stencil).
+    """
     height, width = cfg.resolution
+    if local_height is None:
+        local_height = height
+    sign = cfg.system
+
     cam_m = _cam_matrices(cfg, dyn["camera"], cfg.cam_projection_type)
     dbg_mvp = None
     if cfg.has_debug_camera:
         dbg_mvp = _cam_matrices(cfg, dyn["debug_camera"],
                                 cfg.dbg_projection_type)["MVP"]
 
-    faces, attrs = _build_face_batch(cfg, dyn, cam_m, dbg_mvp)
-    zbuf, tid = render_visibility(faces, height, width, cfg.system,
-                                  chunk=cfg.chunk)
+    tris_idx = jax.lax.axis_index(axis_tris) if axis_tris else 0
+    n_tris = jax.lax.axis_size(axis_tris) if axis_tris else 1
+    faces, attrs = _build_face_batch(cfg, dyn, cam_m, dbg_mvp,
+                                     tris_idx=tris_idx)
+
+    from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
+    zb_sign = zbuffer_pass(faces, local_height, width, sign, cfg.chunk, row0)
+    if axis_tris:
+        zb_sign = jax.lax.pmin(zb_sign, axis_tris)
+    tid = visibility_pass(faces, zb_sign, local_height, width, sign,
+                          cfg.chunk, row0)
+    if axis_tris:
+        # Last-wins across shards: ids are shard-major, so pmax picks the
+        # highest-id claimant among shards whose face passed the final z-test.
+        tid = jax.lax.pmax(tid, axis_tris)
+        # Gather every shard's attributes so shading can index global ids.
+        attrs = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, axis_tris).reshape(
+                (-1,) + a.shape[1:]),
+            attrs)
+    zbuf = zb_sign * sign
 
     if cfg.shadows:
         from tpu_renderer.ops.shadow import shadow_stencil
-        stencil = shadow_stencil(cfg, dyn, cam_m, zbuf)
+        if axis_tris:
+            stencil = shadow_stencil(
+                cfg, dyn, cam_m, zbuf, row0=row0, axis_name=axis_tris,
+                shard_idx=tris_idx, quad_slice=None)
+            stencil = jax.lax.psum(stencil, axis_tris)
+        else:
+            stencil = shadow_stencil(cfg, dyn, cam_m, zbuf, row0=row0)
     else:
-        stencil = jnp.zeros((height, width), jnp.int32)
+        stencil = jnp.zeros((local_height, width), jnp.int32)
 
-    frame = _shade(cfg, dyn, tid, stencil, attrs, cam_m)
+    frame = _shade(cfg, dyn, tid, stencil, attrs, cam_m, row0=row0)
+    return frame, zbuf, tid, stencil
 
+
+def render_frame(cfg: SceneConfig, dyn):
+    """The per-frame device program. Returns (frame_u8, zbuf, tid, stencil)."""
+    frame, zbuf, tid, stencil = render_core(cfg, dyn)
     # Vertical flip + gamma 0.8 + quantize (reference core.py:640).
     out = (jnp.clip(frame[::-1] ** 0.8, 0.0, 1.0) * 255).astype(jnp.uint8)
     return out, zbuf, tid, stencil

@@ -104,14 +104,17 @@ def _chunked(faces, chunk):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "chunk"))
-def zbuffer_pass(faces, height, width, sign, chunk=8):
+def zbuffer_pass(faces, height, width, sign, chunk=8, row0=0):
     """Depth pre-pass: final z-buffer in sign space (z * sign, min-combine).
 
     Matches reference pass 1 z writes (triangular.py:117-118): only faces with
     ``z_write`` update; the test is ``z_buffer >= z`` (RH) / ``<=`` (LH), both
     expressed as ``zb' >= z'`` with z' = z*sign.
+
+    ``row0`` offsets the pixel rows into the global frame — the hook that lets
+    a device mesh shard the frame row-wise (parallel/sharded.py).
     """
-    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None] + row0
     cols = jnp.arange(width, dtype=jnp.float32)[None, :]
     zb0 = jnp.full((height, width), jnp.inf, jnp.float32)
 
@@ -129,7 +132,7 @@ def zbuffer_pass(faces, height, width, sign, chunk=8):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "chunk"))
-def visibility_pass(faces, zb_sign, height, width, sign, chunk=8):
+def visibility_pass(faces, zb_sign, height, width, sign, chunk=8, row0=0):
     """Resolve the winning face id per pixel against the FINAL z-buffer.
 
     Reference pass 3 semantics (triangular.py:99-109 without the stencil mask,
@@ -137,7 +140,7 @@ def visibility_pass(faces, zb_sign, height, width, sign, chunk=8):
     z-buffer; later faces overwrite (model/face order).
     Returns tid (H, W) int32, -1 where no face claims the pixel.
     """
-    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None] + row0
     cols = jnp.arange(width, dtype=jnp.float32)[None, :]
     tid0 = jnp.full((height, width), -1, jnp.int32)
 
@@ -153,8 +156,8 @@ def visibility_pass(faces, zb_sign, height, width, sign, chunk=8):
     return tid
 
 
-def render_visibility(faces, height, width, sign, chunk=8):
+def render_visibility(faces, height, width, sign, chunk=8, row0=0):
     """Full visibility resolve: (z-buffer in real z space, tid)."""
-    zb_sign = zbuffer_pass(faces, height, width, sign, chunk)
-    tid = visibility_pass(faces, zb_sign, height, width, sign, chunk)
+    zb_sign = zbuffer_pass(faces, height, width, sign, chunk, row0)
+    tid = visibility_pass(faces, zb_sign, height, width, sign, chunk, row0)
     return zb_sign * sign, tid

@@ -43,16 +43,17 @@ def mix(x, y, a):
     return x * (1 - a) + y * a
 
 
-def pixel_barycentric(sx, sy, inv_w):
+def pixel_barycentric(sx, sy, inv_w, row0=0):
     """Screen + perspective-corrected barycentric for every pixel.
 
-    sx, sy, inv_w: (H, W, 3) per-pixel winning-face vertex data.
+    sx, sy, inv_w: (H, W, 3) per-pixel winning-face vertex data. ``row0``
+    offsets rows into the global frame for row-sharded rendering.
     Returns (bar, pb): both (H, W, 3). ``pb`` is the reference's
     ``screen_perspective`` (core.py:155-160): bar * (1/w) renormalized.
     """
     H, W = sx.shape[:2]
     cols = jnp.arange(W, dtype=jnp.float32)[None, :]
-    rows = jnp.arange(H, dtype=jnp.float32)[:, None]
+    rows = jnp.arange(H, dtype=jnp.float32)[:, None] + row0
     ax, ay = sx[..., 0], sy[..., 0]
     v0x, v0y = sx[..., 1] - ax, sy[..., 1] - ay
     v1x, v1y = sx[..., 2] - ax, sy[..., 2] - ay

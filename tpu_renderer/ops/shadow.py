@@ -44,12 +44,19 @@ QUAD_PMAX = 12
 
 
 def silhouette_edges(verts, vid, pad_valid, inc_edge, inc_dir, inc_valid,
-                     light_position, num_edges):
+                     light_position, num_edges, axis_name=None,
+                     inc_order_base=0):
     """Per-edge silhouette mask + directed vertex ids.
 
     verts: (V, 4); vid: (Fp, 3); pad_valid: (Fp,); inc_edge/(inc_dir)/(inc_valid):
     (3Fp,) / (3Fp, 2) / (3Fp,) incidence arrays; num_edges: static padded count.
     Returns (silhouette (E,) bool, a_vid (E,), b_vid (E,)).
+
+    With ``axis_name`` set, faces (and their incidences) are sharded over that
+    mesh axis: per-shard parity counts psum and the last-light-facing incidence
+    pmaxes, so every shard sees the *global* silhouette. ``inc_order_base``
+    offsets local incidence indices into the global order so the "last face
+    wins" direction semantics stay global.
     """
     world = verts[vid][..., :3]
     n = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
@@ -58,13 +65,36 @@ def silhouette_edges(verts, vid, pad_valid, inc_edge, inc_dir, inc_valid,
     inc_lf = jnp.repeat(light_facing, 3) & inc_valid             # (3Fp,)
     parity = jax.ops.segment_sum(inc_lf.astype(jnp.int32), inc_edge,
                                  num_segments=num_edges)
-    silhouette = (parity & 1) == 1
-
-    order = jnp.where(inc_lf, jnp.arange(inc_lf.shape[0], dtype=jnp.int32), -1)
+    order = jnp.where(
+        inc_lf,
+        jnp.arange(inc_lf.shape[0], dtype=jnp.int32) + inc_order_base, -1)
     last = jax.ops.segment_max(order, inc_edge, num_segments=num_edges)
-    last = jnp.clip(last, 0)
-    ab = inc_dir[last]                                           # (E, 2)
+    # segment_max fills empty segments with the dtype minimum; normalize to -1.
+    last = jnp.maximum(last, -1)
+
+    if axis_name is not None:
+        parity = jax.lax.psum(parity, axis_name)
+        last = jax.lax.pmax(last, axis_name)
+
+    silhouette = (parity & 1) == 1
+    ab = _gather_incidence_dir(inc_dir, last, axis_name, inc_order_base)
     return silhouette, ab[:, 0], ab[:, 1]
+
+
+def _gather_incidence_dir(inc_dir, last, axis_name, inc_order_base):
+    """Directed vertex pair of the globally-last light-facing incidence.
+
+    Single shard: a plain gather. Sharded: each shard contributes its local
+    row when it owns the winning global incidence index, combined with pmax
+    (losing shards contribute -1).
+    """
+    if axis_name is None:
+        return inc_dir[jnp.clip(last, 0)]
+    local = last - inc_order_base
+    owns = (local >= 0) & (local < inc_dir.shape[0])
+    ab = inc_dir[jnp.clip(local, 0)]
+    ab = jnp.where(owns[:, None], ab, -1)
+    return jax.lax.pmax(ab, axis_name)
 
 
 def extrude_quads(verts, a_vid, b_vid, light, light_type):
@@ -146,13 +176,20 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
     return jnp.where(mask, contrib, 0)
 
 
-def shadow_stencil(cfg, dyn, cam_m, zbuf):
+def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
+                   axis_name=None, shard_idx=0):
     """Full-frame signed stencil buffer for all shadow-casting models.
 
     Honors Model.shadowing (the reference never consults it, SURVEY.md §2
     quirk 2) and Scene(shadows=) — this function only runs when shadows are on.
+
+    ``row0`` offsets pixel rows for frame-row sharding (the local frame shape
+    comes from ``zbuf``; bound-box clamps stay in global coordinates).
+    ``quad_slice`` = (start, size) rasterizes only a contiguous quad subset —
+    the triangle-sharding hook; partial stencils psum over the mesh axis.
     """
     height, width = cfg.resolution
+    local_height = zbuf.shape[0]
     sign = cfg.system
     light = dyn["light"]
     near = dyn["camera"]["near"]
@@ -164,12 +201,14 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf):
             continue
         sil, a_vid, b_vid = silhouette_edges(
             md["verts"], md["vid"], md["pad_valid"], md["inc_edge"],
-            md["inc_dir"], md["inc_valid"], light["position"], mc.num_edges)
+            md["inc_dir"], md["inc_valid"], light["position"], mc.num_edges,
+            axis_name=axis_name,
+            inc_order_base=shard_idx * md["inc_edge"].shape[0])
         quads.append(extrude_quads(md["verts"], a_vid, b_vid, light,
                                    cfg.light_type))
         flags.append(sil)
     if not quads:
-        return jnp.zeros((height, width), jnp.int32)
+        return jnp.zeros((local_height, width), jnp.int32)
 
     quad = jnp.concatenate(quads, axis=0)                        # (E, 4, 4)
     sil = jnp.concatenate(flags, axis=0)                         # (E,)
@@ -188,7 +227,27 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf):
     ndc = matmul(clipped, cam_m["MVP"])
     screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
 
-    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    if axis_name is not None and quad_slice is None:
+        # Triangle-sharded mode: every shard sees the same global quad list
+        # (silhouettes were psum-combined); split it evenly so each shard
+        # rasterizes its share and the caller psums partial stencils.
+        n_sh = jax.lax.axis_size(axis_name)
+        e_pad = (-screen.shape[0]) % n_sh
+        if e_pad:
+            screen = jnp.concatenate(
+                [screen, jnp.zeros((e_pad, QUAD_PMAX, 4), screen.dtype)])
+            counts = jnp.concatenate([counts, jnp.zeros(e_pad, counts.dtype)])
+            ok = jnp.concatenate([ok, jnp.zeros(e_pad, bool)])
+        size = screen.shape[0] // n_sh
+        quad_slice = (jax.lax.axis_index(axis_name) * size, size)
+
+    if quad_slice is not None:
+        start, size = quad_slice
+        screen = jax.lax.dynamic_slice_in_dim(screen, start, size, axis=0)
+        counts = jax.lax.dynamic_slice_in_dim(counts, start, size, axis=0)
+        ok = jax.lax.dynamic_slice_in_dim(ok, start, size, axis=0)
+
+    rows = jnp.arange(local_height, dtype=jnp.float32)[:, None] + row0
     cols = jnp.arange(width, dtype=jnp.float32)[None, :]
     zb_sign = zbuf * sign
 
@@ -214,6 +273,6 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf):
                 near, far, height, width)
         return stencil, None
 
-    stencil0 = jnp.zeros((height, width), jnp.int32)
+    stencil0 = jnp.zeros((local_height, width), jnp.int32)
     stencil, _ = jax.lax.scan(body, stencil0, xs)
     return stencil
