@@ -29,26 +29,7 @@ def _scene(resolution=(64, 64)):
 
 
 def _cfg_dyn(scene):
-    # Reuse Scene's packing machinery without rendering.
-    packets = [scene._pack_model(m) for m in scene.models]
-    background, bg_color = scene._background()
-    from tpu_renderer.ops.pipeline import SceneConfig
-    cfg = SceneConfig(
-        resolution=scene.resolution, system=scene.system,
-        subsystem=scene.subsystem, shadows=scene.shadows, shader=scene.shader,
-        background=background,
-        cam_projection_type=scene.camera.projection_type,
-        backface_culling=scene.camera.backface_culling,
-        has_debug_camera=False, dbg_projection_type=0,
-        light_type=scene.light.light_type,
-        models=tuple(p["_config"] for p in packets))
-    dyn = {
-        "models": [{k: v for k, v in p.items() if not k.startswith("_")}
-                   for p in packets],
-        "camera": scene._cam_dyn(scene.camera),
-        "light": scene._light_dyn(),
-        "background_color": bg_color,
-    }
+    cfg, dyn = scene._prepare()
     return cfg, dyn
 
 

@@ -88,7 +88,7 @@ class Scene:
                  debug_camera: Optional[Camera] = None,
                  resolution=(1500, 1500), system=SYSTEM.RH,
                  subsystem=SUBSYSTEM.DIRECTX, skymap=None,
-                 shader: str = SHADER_GENERAL):
+                 shader: str = SHADER_GENERAL, backend: Optional[str] = None):
         self.system = system
         self.subsystem = subsystem
         self.resolution = tuple(int(r) for r in resolution)
@@ -96,6 +96,9 @@ class Scene:
         self.shadows = shadows
         self.skybox = skymap
         self.shader = shader
+        #: 'pallas' (tile-binned TPU kernels), 'xla' (portable streaming
+        #: path), or None = auto: pallas on TPU, xla elsewhere.
+        self.backend = backend
         self.camera = camera if camera is not None else Camera(
             position=(0, 0, 1), center=(0, 0, 0))
         self.light = light if light is not None else Light(position=(1, 1, 1))
@@ -272,12 +275,19 @@ class Scene:
 
     # -------------------------------------------------------------- render
 
-    def render(self) -> np.ndarray:
-        """Render one frame; returns (H, W, 3) uint8, same as core.py:587-640."""
+    def _prepare(self):
+        """Pack the scene into (static SceneConfig, dynamic input pytree)."""
+        import jax
+
         packets = [self._pack_model(m) for m in self.models]
         background, bg_color = self._background()
 
+        on_tpu = jax.default_backend() == "tpu"
+        backend = self.backend or ("pallas" if on_tpu else "xla")
+
         cfg = SceneConfig(
+            backend=backend,
+            pallas_interpret=backend == "pallas" and not on_tpu,
             resolution=self.resolution, system=self.system,
             subsystem=self.subsystem, shadows=self.shadows,
             shader=self.shader, background=background,
@@ -301,7 +311,11 @@ class Scene:
             dyn["background_color"] = bg_color
         else:
             dyn["skybox"] = self.skybox.as_device_arrays()
+        return cfg, dyn
 
+    def render(self) -> np.ndarray:
+        """Render one frame; returns (H, W, 3) uint8, same as core.py:587-640."""
+        cfg, dyn = self._prepare()
         out, zbuf, tid, stencil = render_frame_jit(cfg, dyn)
         self.last_zbuf, self.last_tid, self.last_stencil = zbuf, tid, stencil
         return np.asarray(out)

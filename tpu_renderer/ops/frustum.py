@@ -116,11 +116,12 @@ def _clip_one_plane(verts, count, plane):
     flags = jnp.stack([emit_cur, emit_ip], axis=1).reshape(2 * n)
     pos = jnp.cumsum(flags) - 1
     out_count = flags.sum()
-    # Scatter kept candidates to their compacted slots; dropped ones go to a
-    # scratch slot past the end (drop semantics of .at[...] with mode='drop').
-    pos = jnp.where(flags, pos, n)
-    out = jnp.zeros((n + 1, 4), verts.dtype).at[pos].set(cand, mode="drop")
-    return out[:n], out_count
+    # Compact kept candidates with a one-hot contraction instead of a scatter
+    # (TPU scatters serialize; a (n, 2n) boolean matmul stays on the VPU/MXU).
+    pos = jnp.where(flags, pos, -1)
+    onehot = (pos[None, :] == jnp.arange(n)[:, None]).astype(cand.dtype)
+    out = jnp.matmul(onehot, cand, precision="highest")
+    return out, out_count
 
 
 def clip_polygon(verts, count, planes):

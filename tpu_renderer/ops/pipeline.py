@@ -74,6 +74,7 @@ class SceneConfig:
     models: Tuple[ModelConfig, ...]
     chunk: int = 8
     backend: str = "xla"           # 'xla' | 'pallas'
+    pallas_interpret: bool = False  # Pallas interpreter mode (CPU testing)
 
 
 def _cam_matrices(cfg: SceneConfig, cam, projection_type):
@@ -157,6 +158,19 @@ def _sample_stack(stack, slot, row, col):
     return stack[jnp.clip(slot, 0), row, col]
 
 
+def _wrap_index(x, dim):
+    """Truncate-to-int then numpy-negative-wrap, in pure float arithmetic.
+
+    Matches the reference's ``.astype(int)`` + fancy-index wrap
+    (core.py:141-143) for any index in (-dim, dim) — TPUs have no integer
+    divide, so ``% dim`` with a per-pixel divisor is catastrophically slow;
+    trunc + floor-mod on the VPU is a handful of cheap ops.
+    """
+    i = jnp.trunc(x)
+    wrapped = i - dim * jnp.floor(i / dim)
+    return wrapped.astype(jnp.int32)
+
+
 def _stack_uv_index(pb, uv, shape_hw):
     """Reference get_UV (core.py:138-143) with per-pixel texture shapes.
 
@@ -167,10 +181,8 @@ def _stack_uv_index(pb, uv, shape_hw):
     iv = jnp.sum(pb * uv[..., 1], axis=-1)
     th = shape_hw[..., 0]
     tw = shape_hw[..., 1]
-    col = (jnp.clip(iu, max=1.0) * (tw - 1)).astype(jnp.int32)
-    row = ((1.0 - jnp.clip(iv, max=1.0)) * (th - 1)).astype(jnp.int32)
-    col = col % tw.astype(jnp.int32)
-    row = row % th.astype(jnp.int32)
+    col = _wrap_index(jnp.clip(iu, max=1.0) * (tw - 1), tw)
+    row = _wrap_index((1.0 - jnp.clip(iv, max=1.0)) * (th - 1), th)
     return row, col
 
 
@@ -268,6 +280,94 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
     return jnp.where(bg[..., None], background, rgb)
 
 
+def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0):
+    """Deferred shading from the kernel-interpolated G-buffer.
+
+    Same lighting semantics as :func:`_shade`, but every per-face attribute
+    arrives pre-interpolated from the Pallas kernel
+    (raster_pallas.visibility_gbuffer_pallas) — the only remaining gathers are
+    the actual texture fetches.
+    """
+    from tpu_renderer.ops import raster_pallas as rp
+
+    height, width = tid.shape[0], cfg.resolution[1]
+    bg = tid < 0
+
+    ch = lambda c: gb[c]
+    vec = lambda c: jnp.moveaxis(gb[c:c + 3], 0, -1)
+
+    frag_world = vec(rp.GB_WORLD)
+    iu, iv = ch(rp.GB_IU), ch(rp.GB_IV)
+    model_id = ch(rp.GB_MODEL)
+
+    def tex_index(th, tw):
+        col = _wrap_index(jnp.clip(iu, max=1.0) * (tw - 1), tw)
+        row = _wrap_index((1.0 - jnp.clip(iv, max=1.0)) * (th - 1), th)
+        return row, col
+
+    color = vec(rp.GB_KD)
+    for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
+        if not mc.has_map_kd:
+            continue
+        row, col = tex_index(ch(rp.GB_KD_SLOT + 1), ch(rp.GB_KD_SLOT + 2))
+        slot = ch(rp.GB_KD_SLOT)
+        sampled = md["kd_stack"][
+            jnp.clip(slot, 0).astype(jnp.int32), row, col]
+        mask = (model_id == m) & (slot >= 0)
+        color = jnp.where(mask[..., None], sampled, color)
+
+    n_base = normalize(vec(rp.GB_N))
+    normal = n_base
+    for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
+        if not mc.has_norm:
+            continue
+        row, col = tex_index(ch(rp.GB_NORM_SLOT + 1), ch(rp.GB_NORM_SLOT + 2))
+        slot = ch(rp.GB_NORM_SLOT)
+        sampled = md["norm_stack"][
+            jnp.clip(slot, 0).astype(jnp.int32), row, col]
+        tangent_n = (normalize(vec(rp.GB_TAN)) * sampled[..., 0:1] +
+                     normalize(vec(rp.GB_BIT)) * sampled[..., 1:2] +
+                     n_base * sampled[..., 2:3])
+        is_tangent = ch(rp.GB_NORM_SLOT + 3) > 0.5
+        mapped = jnp.where(is_tangent[..., None], tangent_n, sampled)
+        mask = (model_id == m) & (slot >= 0)
+        normal = jnp.where(mask[..., None], normalize(mapped), normal)
+
+    specular_light = vec(rp.GB_KS) * 255.0
+    for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
+        if not mc.has_map_ks:
+            continue
+        row, col = tex_index(ch(rp.GB_KS_SLOT + 1), ch(rp.GB_KS_SLOT + 2))
+        slot = ch(rp.GB_KS_SLOT)
+        sampled = md["ks_stack"][
+            jnp.clip(slot, 0).astype(jnp.int32), row, col]
+        mask = (model_id == m) & (slot >= 0)
+        specular_light = jnp.where(mask[..., None],
+                                   sampled[..., 0:1] * 255.0, specular_light)
+
+    light = dict(dyn["light"])
+    light["light_type"] = cfg.light_type
+    light["direction"] = normalize(
+        light["position"] - light["center"]).ravel()
+
+    pix = {
+        "color": color, "normal": normal, "frag_world": frag_world,
+        "specular_light": specular_light, "ns": ch(rp.GB_NS)[..., None],
+    }
+    shadows_mask = (stencil != 0) if cfg.shadows else None
+    rgb = sh.shade_general(pix, light, dyn["camera"]["position"],
+                           shadows_mask=shadows_mask)
+
+    if cfg.background == "color":
+        background = jnp.broadcast_to(dyn["background_color"],
+                                      (height, width, 3))
+    else:
+        from tpu_renderer.ops.cubemap import fill_frame_from_skybox
+        background = fill_frame_from_skybox(
+            dyn["skybox"], cam_m, (height, width), row0)
+    return jnp.where(bg[..., None], background, rgb)
+
+
 def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 axis_rows=None, axis_tris=None):
     """Render the (possibly row/triangle-sharded) frame BEFORE flip/quantize.
@@ -299,12 +399,37 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     faces, attrs = _build_face_batch(cfg, dyn, cam_m, dbg_mvp,
                                      tris_idx=tris_idx)
 
+    # The Pallas tile-binned kernels are the production TPU path; the XLA
+    # streaming path remains for sharded rendering (row offsets) and as the
+    # portable oracle.
+    use_pallas = (cfg.backend == "pallas" and axis_tris is None
+                  and axis_rows is None)
+
+    # The general shader gets its attributes forward-interpolated by the
+    # kernel (G-buffer) — per-pixel table gathers are pathologically slow on
+    # TPU; other shaders use the gather-based _shade path.
+    use_gbuffer = use_pallas and cfg.shader == SHADER_GENERAL
+    gbuffer = None
+
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
-    zb_sign = zbuffer_pass(faces, local_height, width, sign, cfg.chunk, row0)
+    if use_gbuffer:
+        from tpu_renderer.ops.raster_pallas import visibility_gbuffer_pallas
+        zb_sign, tid, gbuffer = visibility_gbuffer_pallas(
+            faces, attrs, local_height, width, sign,
+            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret)
+    elif use_pallas:
+        from tpu_renderer.ops.raster_pallas import visibility_pallas
+        zb_sign, tid = visibility_pallas(
+            faces, local_height, width, sign,
+            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret)
+    else:
+        zb_sign = zbuffer_pass(faces, local_height, width, sign, cfg.chunk,
+                               row0)
     if axis_tris:
         zb_sign = jax.lax.pmin(zb_sign, axis_tris)
-    tid = visibility_pass(faces, zb_sign, local_height, width, sign,
-                          cfg.chunk, row0)
+    if not use_pallas:
+        tid = visibility_pass(faces, zb_sign, local_height, width, sign,
+                              cfg.chunk, row0)
     if axis_tris:
         # Last-wins across shards: ids are shard-major, so pmax picks the
         # highest-id claimant among shards whose face passed the final z-test.
@@ -317,18 +442,36 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     zbuf = zb_sign * sign
 
     if cfg.shadows:
-        from tpu_renderer.ops.shadow import shadow_stencil
+        from tpu_renderer.ops.shadow import prepare_quads, shadow_stencil
         if axis_tris:
             stencil = shadow_stencil(
                 cfg, dyn, cam_m, zbuf, row0=row0, axis_name=axis_tris,
                 shard_idx=tris_idx, quad_slice=None)
             stencil = jax.lax.psum(stencil, axis_tris)
+        elif use_pallas:
+            from tpu_renderer.ops.raster_pallas import (pack_quads,
+                                                        stencil_pallas)
+            prepared = prepare_quads(cfg, dyn, cam_m)
+            if prepared is None:
+                stencil = jnp.zeros((local_height, width), jnp.int32)
+            else:
+                near = dyn["camera"]["near"]
+                far = dyn["camera"]["far"]
+                qdata, qi = pack_quads(*prepared, local_height, width,
+                                       near, far)
+                stencil = stencil_pallas(qdata, qi, zbuf, local_height,
+                                         width, sign, near, far,
+                                         interpret=cfg.pallas_interpret)
         else:
             stencil = shadow_stencil(cfg, dyn, cam_m, zbuf, row0=row0)
     else:
         stencil = jnp.zeros((local_height, width), jnp.int32)
 
-    frame = _shade(cfg, dyn, tid, stencil, attrs, cam_m, row0=row0)
+    if use_gbuffer:
+        frame = _shade_gbuffer(cfg, dyn, tid, stencil, gbuffer, cam_m,
+                               row0=row0)
+    else:
+        frame = _shade(cfg, dyn, tid, stencil, attrs, cam_m, row0=row0)
     return frame, zbuf, tid, stencil
 
 

@@ -85,13 +85,13 @@ def sample_texture(texture, pb, uv):
     clipped only at max=1; row index from 1 - interpolated v, same clamp;
     truncating int cast; negative indices wrap like numpy fancy indexing.
     """
+    from tpu_renderer.ops.pipeline import _wrap_index
+
     th, tw = texture.shape[0], texture.shape[1]
     iu = jnp.sum(pb * uv[..., 0], axis=-1)
     iv = jnp.sum(pb * uv[..., 1], axis=-1)
-    col = (jnp.clip(iu, max=1.0) * (tw - 1)).astype(jnp.int32)
-    row = ((1.0 - jnp.clip(iv, max=1.0)) * (th - 1)).astype(jnp.int32)
-    col = col % tw
-    row = row % th
+    col = _wrap_index(jnp.clip(iu, max=1.0) * (tw - 1), float(tw))
+    row = _wrap_index((1.0 - jnp.clip(iv, max=1.0)) * (th - 1), float(th))
     return texture[row, col]
 
 

@@ -176,25 +176,14 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
     return jnp.where(mask, contrib, 0)
 
 
-def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
-                   axis_name=None, shard_idx=0):
-    """Full-frame signed stencil buffer for all shadow-casting models.
+def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
+    """Silhouette -> extruded quads -> world clip -> screen projection.
 
-    Honors Model.shadowing (the reference never consults it, SURVEY.md §2
-    quirk 2) and Scene(shadows=) — this function only runs when shadows are on.
-
-    ``row0`` offsets pixel rows for frame-row sharding (the local frame shape
-    comes from ``zbuf``; bound-box clamps stay in global coordinates).
-    ``quad_slice`` = (start, size) rasterizes only a contiguous quad subset —
-    the triangle-sharding hook; partial stencils psum over the mesh axis.
+    Returns (screen (E, QUAD_PMAX, 4), counts (E,), ok (E,)) or None when no
+    model casts shadows. Shared by the XLA scan rasterizer below and the
+    Pallas stencil kernel (ops/raster_pallas.py).
     """
-    height, width = cfg.resolution
-    local_height = zbuf.shape[0]
-    sign = cfg.system
     light = dyn["light"]
-    near = dyn["camera"]["near"]
-    far = dyn["camera"]["far"]
-
     quads, flags = [], []
     for mc, md in zip(cfg.models, dyn["models"]):
         if not mc.shadowing or mc.num_edges == 0:
@@ -208,7 +197,7 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
                                    cfg.light_type))
         flags.append(sil)
     if not quads:
-        return jnp.zeros((local_height, width), jnp.int32)
+        return None
 
     quad = jnp.concatenate(quads, axis=0)                        # (E, 4, 4)
     sil = jnp.concatenate(flags, axis=0)                         # (E,)
@@ -226,6 +215,31 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
     # Project to screen: MVP -> /w -> viewport (triangular.py:325-327).
     ndc = matmul(clipped, cam_m["MVP"])
     screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
+    return screen, counts, ok
+
+
+def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
+                   axis_name=None, shard_idx=0):
+    """Full-frame signed stencil buffer for all shadow-casting models.
+
+    Honors Model.shadowing (the reference never consults it, SURVEY.md §2
+    quirk 2) and Scene(shadows=) — this function only runs when shadows are on.
+
+    ``row0`` offsets pixel rows for frame-row sharding (the local frame shape
+    comes from ``zbuf``; bound-box clamps stay in global coordinates).
+    ``quad_slice`` = (start, size) rasterizes only a contiguous quad subset —
+    the triangle-sharding hook; partial stencils psum over the mesh axis.
+    """
+    height, width = cfg.resolution
+    local_height = zbuf.shape[0]
+    sign = cfg.system
+    near = dyn["camera"]["near"]
+    far = dyn["camera"]["far"]
+
+    prepared = prepare_quads(cfg, dyn, cam_m, axis_name, shard_idx)
+    if prepared is None:
+        return jnp.zeros((local_height, width), jnp.int32)
+    screen, counts, ok = prepared
 
     if axis_name is not None and quad_slice is None:
         # Triangle-sharded mode: every shard sees the same global quad list
