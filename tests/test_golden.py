@@ -104,6 +104,37 @@ def test_golden_diablo(reference, name, textures, light_type):
     compare(ours, ref, name)
 
 
+DEBUG_CAM_KW = dict(position=(0, 3, 0.01), center=(0, 0, 0), fovy=80, near=1,
+                    far=3, backface_culling=True,
+                    projection_type=tr.PROJECTION_TYPE.PERSPECTIVE)
+
+
+def test_golden_frustum_overlay(reference):
+    """Distinct debug camera: its wireframe frustum + clipping appear in-frame
+    (reference main.py:84-92 camera2 + frustums.py overlay)."""
+    model = tr.Model.load_model(os.path.join(DIABLO_DIR, "diablo3_pose.obj"))
+    light = tr.Light(light_type=tr.Lightning.DIRECTIONAL_LIGHTNING, **LIGHT_KW)
+    scene = tr.Scene(tr.Camera(**CAM_KW), light, shadows=True,
+                     debug_camera=tr.Camera(**DEBUG_CAM_KW), resolution=RES,
+                     system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(model)
+    ours = scene.render()
+
+    ref_model = reference.core.Model.load_model(
+        os.path.join(DIABLO_DIR, "diablo3_pose.obj"))
+    ref_light = reference.core.Light(
+        light_type=reference.Lightning.DIRECTIONAL_LIGHTNING, **LIGHT_KW)
+    ref_scene = reference.core.Scene(
+        reference.core.Camera(**CAM_KW), ref_light, shadows=True,
+        debug_camera=reference.core.Camera(**DEBUG_CAM_KW), resolution=RES,
+        system=reference.transformation.SYSTEM.LH,
+        subsystem=reference.transformation.SUBSYSTEM.OPENGL)
+    ref_scene.add_model(ref_model)
+    ref = ref_scene.render()
+    # Thin anti-aliased lines can shift by a pixel between f32 and f64 DDA.
+    compare(ours, ref, "frustum_overlay", good_frac=0.95, mean_tol=3.0)
+
+
 def test_golden_backface_culling(reference):
     cam = dict(CAM_KW, backface_culling=True)
     ours = _build_ours(LIGHT_KW, cam, textures=False,

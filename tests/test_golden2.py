@@ -1,0 +1,101 @@
+"""Golden tests: skybox/cubemap, orthographic projection, MTL materials."""
+import os
+
+import numpy as np
+import pytest
+
+import tpu_renderer as tr
+from tests.test_golden import CAM_KW, LIGHT_KW, RES, compare
+
+OBJ = "/root/reference/obj"
+SKYBOX = {side: os.path.join(OBJ, "skybox", f"{side}.jpg")
+          for side in ("back", "bottom", "front", "left", "right", "top")}
+
+
+def test_cubemap_getitem_matches_reference(reference):
+    ref_cm = reference.cube_map.CubeMap(**SKYBOX)
+    ours_cm = tr.CubeMap(**SKYBOX)
+    np.testing.assert_allclose(ours_cm.textures, ref_cm.textures, atol=1e-6)
+    rng = np.random.default_rng(7)
+    dirs = rng.normal(size=(500, 3)).astype(np.float64)
+    ref_tex = ref_cm[dirs]
+    ours_tex = ours_cm[dirs]
+    match = (np.abs(ref_tex - ours_tex) < 1e-5).all(axis=-1).mean()
+    assert match > 0.99  # borderline texel picks may differ in f32
+
+
+def _scenes(reference, skymap_ref, skymap_ours, cam_extra=None):
+    cam_kw = dict(CAM_KW, **(cam_extra or {}))
+    model = tr.Model.load_model(os.path.join(OBJ, "diablo3_pose",
+                                             "diablo3_pose.obj"))
+    scene = tr.Scene(tr.Camera(**cam_kw),
+                     tr.Light(light_type=tr.Lightning.DIRECTIONAL_LIGHTNING,
+                              **LIGHT_KW),
+                     shadows=True, debug_camera=tr.Camera(**cam_kw),
+                     resolution=RES, system=tr.SYSTEM.LH,
+                     subsystem=tr.SUBSYSTEM.OPENGL, skymap=skymap_ours)
+    scene.add_model(model)
+
+    ref_model = reference.core.Model.load_model(
+        os.path.join(OBJ, "diablo3_pose", "diablo3_pose.obj"))
+    ref_scene = reference.core.Scene(
+        reference.core.Camera(**cam_kw),
+        reference.core.Light(
+            light_type=reference.Lightning.DIRECTIONAL_LIGHTNING, **LIGHT_KW),
+        shadows=True, debug_camera=reference.core.Camera(**cam_kw),
+        resolution=RES, system=reference.transformation.SYSTEM.LH,
+        subsystem=reference.transformation.SUBSYSTEM.OPENGL,
+        skymap=skymap_ref)
+    ref_scene.add_model(ref_model)
+    return scene, ref_scene
+
+
+def test_golden_skybox(reference):
+    # Must build the CubeMap from the class object core.py imported —
+    # isinstance() in Scene.render (core.py:595) checks module identity.
+    scene, ref_scene = _scenes(reference,
+                               reference.core.CubeMap(**SKYBOX),
+                               tr.CubeMap(**SKYBOX))
+    compare(scene.render(), ref_scene.render(), "skybox")
+
+
+def test_golden_solid_background(reference):
+    scene, ref_scene = _scenes(reference, [0.1, 0.2, 0.3], [0.1, 0.2, 0.3])
+    compare(scene.render(), ref_scene.render(), "solid_bg")
+
+
+def test_golden_orthographic(reference):
+    extra = dict(projection_type=tr.PROJECTION_TYPE.ORTHOGRAPHIC,
+                 position=(0.5, 1.0, 2.0), fovy=30)
+    scene, ref_scene = _scenes(reference, None, None, cam_extra=extra)
+    # ORTHOGRAPHIC forces near = |position| in both (core.py:387).
+    assert np.isclose(scene.camera.near, ref_scene.camera.near)
+    compare(scene.render(), ref_scene.render(), "ortho")
+
+
+def test_golden_mtl_cube(reference):
+    """cube.obj loads its MTL (container texture) — per-material maps."""
+    cam_kw = dict(position=(1.5, 1.5, 2.5), center=(0.5, 0.5, 0.5), fovy=60,
+                  near=0.01, far=50, backface_culling=True)
+    path = os.path.join(OBJ, "obj_loader_test", "cube.obj")
+
+    model = tr.Model.load_model(path)
+    scene = tr.Scene(tr.Camera(**cam_kw),
+                     tr.Light((3, 4, 2), light_type=tr.Lightning.POINT_LIGHTNING,
+                              ambient_strength=0.1),
+                     shadows=True, debug_camera=tr.Camera(**cam_kw),
+                     resolution=RES, system=tr.SYSTEM.LH,
+                     subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(model)
+
+    ref_model = reference.core.Model.load_model(path)
+    ref_scene = reference.core.Scene(
+        reference.core.Camera(**cam_kw),
+        reference.core.Light((3, 4, 2),
+                             light_type=reference.Lightning.POINT_LIGHTNING,
+                             ambient_strength=0.1),
+        shadows=True, debug_camera=reference.core.Camera(**cam_kw),
+        resolution=RES, system=reference.transformation.SYSTEM.LH,
+        subsystem=reference.transformation.SUBSYSTEM.OPENGL)
+    ref_scene.add_model(ref_model)
+    compare(scene.render(), ref_scene.render(), "mtl_cube")

@@ -99,6 +99,9 @@ class Scene:
         #: 'pallas' (tile-binned TPU kernels), 'xla' (portable streaming
         #: path), or None = auto: pallas on TPU, xla elsewhere.
         self.backend = backend
+        #: Draw the debug camera's frustum wireframe like the reference
+        #: (core.py:638) whenever a debug camera is present.
+        self.debug_overlay = True
         self.camera = camera if camera is not None else Camera(
             position=(0, 0, 1), center=(0, 0, 0))
         self.light = light if light is not None else Light(position=(1, 1, 1))
@@ -316,6 +319,26 @@ class Scene:
     def render(self) -> np.ndarray:
         """Render one frame; returns (H, W, 3) uint8, same as core.py:587-640."""
         cfg, dyn = self._prepare()
+        if self.debug_camera is not None and self.debug_overlay:
+            # Debug overlays draw on the pre-flip float frame (core.py:638),
+            # then flip + gamma 0.8 + quantize on the host.
+            from tpu_renderer.models.camera import camera_matrices
+            from tpu_renderer.ops.overlay import draw_view_frustum
+            from tpu_renderer.ops.pipeline import render_core_jit
+
+            frame_f32, zbuf, tid, stencil = render_core_jit(cfg, dyn)
+            frame = np.asarray(frame_f32).astype(np.float64)
+            zb = np.asarray(zbuf).astype(np.float64)
+            cam_m = {k: np.asarray(v) for k, v in
+                     self.camera._matrices().items()}
+            dbg_m = {k: np.asarray(v) for k, v in
+                     self.debug_camera._matrices().items()}
+            draw_view_frustum(frame, cam_m, dbg_m, self.camera.position,
+                              self.camera.near, self.camera.far,
+                              self.resolution, zb, self.system)
+            self.last_zbuf, self.last_tid, self.last_stencil = zb, tid, stencil
+            return (np.clip(frame[::-1] ** 0.8, 0, 1) * 255).astype(np.uint8)
+
         out, zbuf, tid, stencil = render_frame_jit(cfg, dyn)
         self.last_zbuf, self.last_tid, self.last_stencil = zbuf, tid, stencil
         return np.asarray(out)

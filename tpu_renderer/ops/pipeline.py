@@ -19,6 +19,7 @@ traced argument, so camera orbits and animated models never recompile.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -484,3 +485,9 @@ def render_frame(cfg: SceneConfig, dyn):
 
 
 render_frame_jit = jax.jit(render_frame, static_argnames=("cfg",))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_core_jit(cfg, dyn):
+    """Pre-flip float frame + buffers — for host-side debug overlays."""
+    return render_core(cfg, dyn)
