@@ -22,16 +22,16 @@ def test_load_diablo_matches_reference(reference, diablo, diablo_path):
     np.testing.assert_array_equal(diablo.vertices, ref.vertices)
     np.testing.assert_array_equal(diablo.uv, ref.uv)
     np.testing.assert_array_equal(diablo.normals, ref.normals)
-    np.testing.assert_array_equal(diablo.faces, ref._faces)
+    np.testing.assert_array_equal(diablo.face_array, ref._faces)
     assert diablo.vertices.shape == (2519, 4)
-    assert diablo.faces.shape[0] == 5022  # SURVEY.md §6 geometry facts
+    assert diablo.face_array.shape[0] == 5022  # SURVEY.md §6 geometry facts
 
 
 def test_load_cube_with_mtl(reference):
     ours = Model.load_model(CUBE_PATH)
     ref = reference.core.Model.load_model(CUBE_PATH)
     np.testing.assert_array_equal(ours.vertices, ref.vertices)
-    np.testing.assert_array_equal(ours.faces, ref._faces)
+    np.testing.assert_array_equal(ours.face_array, ref._faces)
     assert set(ours.materials) == set(ref.materials)
     assert ours.material_group == ref.material_group
     # MTL scalar/vector coercion parity for a parsed material.
@@ -91,7 +91,7 @@ def test_edge_table_silhouette_parity(reference, diablo, diablo_path):
     ref_silhouette = _reference_silhouette(reference, ref_model, light)
 
     et = diablo.edge_table
-    fv = diablo.faces[:, :, 0]
+    fv = diablo.face_array[:, :, 0]
     v = diablo.vertices[:, :3]
     a, b, c = v[fv[:, 0]], v[fv[:, 1]], v[fv[:, 2]]
     n = np.cross(b - a, c - a)
@@ -112,7 +112,7 @@ def test_edge_table_silhouette_parity(reference, diablo, diablo_path):
 def test_edge_table_direction_semantics(diablo):
     """Every incidence direction is one of the edge's two orientations."""
     et = diablo.edge_table
-    fv = diablo.faces[:, :, 0]
+    fv = diablo.face_array[:, :, 0]
     assert et.incidence_edge.shape == (3 * len(fv),)
     assert et.incidence_dir.shape == (3 * len(fv), 2)
     # Directed pairs reconstruct the face loops.
@@ -126,7 +126,34 @@ def test_gizmos_well_formed():
     for m in (gizmos.make_floor(), gizmos.make_sphere(6, 8),
               gizmos.make_cube(), gizmos.make_camera_gizmo()):
         assert m.vertices.ndim == 2 and m.vertices.shape[1] == 4
-        assert m.faces.ndim == 3 and m.faces.shape[1:] == (3, 4)
-        assert m.faces[:, :, 0].max() < len(m.vertices)
+        assert m.face_array.ndim == 3 and m.face_array.shape[1:] == (3, 4)
+        assert m.face_array[:, :, 0].max() < len(m.vertices)
         et = m.edge_table  # adjacency builds without error
         assert et.num_edges > 0
+
+
+def test_render_stats():
+    """Batched per-model stats (reference's Errors tally, core.py:634-636)."""
+    import tpu_renderer as tr
+    from tpu_renderer.models.gizmos import make_cube, make_floor
+
+    cube = make_cube(1.0)
+    floor = make_floor(2.0, y=-0.6)
+    scene = tr.Scene(tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60,
+                               near=0.01, far=50, backface_culling=True),
+                     tr.Light((3, 4, 2)), resolution=(64, 64),
+                     system=tr.SYSTEM.RH, subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(cube)
+    scene.add_model(floor)
+    scene.render()
+    stats = scene.stats()
+    assert len(stats) == 2
+    assert stats[0]["total"] == 12
+    assert stats[1]["total"] == 2
+    # Backface culling discards roughly half the cube.
+    assert 3 <= stats[0]["backface_culled"] <= 9
+    assert stats[0]["rendered"] >= 1
+    assert stats[1]["rendered"] >= 1
+    for s in stats:
+        assert (s["rendered"] + s["backface_culled"] + s["degenerate"]
+                + s["offscreen"] + s["occluded_or_clipped"]) >= s["total"] - 1

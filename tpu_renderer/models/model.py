@@ -268,7 +268,15 @@ class Model:
     # ------------------------------------------------------------ geometry
 
     @property
-    def faces(self) -> np.ndarray:
+    def faces(self):
+        """Generator of per-triangle :class:`Face` views (reference
+        core.py:253-255). The device pipeline uses :attr:`face_array`."""
+        from tpu_renderer.models.face import Face
+
+        return (Face(self, *face.T) for face in self._faces)
+
+    @property
+    def face_array(self) -> np.ndarray:
         """(F, 3, 4) int32 corner index array [vertex, uv, normal, material]."""
         return self._faces
 

@@ -160,7 +160,7 @@ class Scene:
 
         F = model.num_faces
         Fp = max(_PAD, -(-F // _PAD) * _PAD)
-        faces = model.faces
+        faces = model.face_array
 
         vid = _pad_rows(faces[:, :, 0].astype(np.int32), Fp)
         pad_valid = np.zeros(Fp, bool)
@@ -319,6 +319,8 @@ class Scene:
     def render(self) -> np.ndarray:
         """Render one frame; returns (H, W, 3) uint8, same as core.py:587-640."""
         cfg, dyn = self._prepare()
+        if self.shader in ("wireframe", "points"):
+            return self._render_debug_shader(cfg, dyn)
         if self.debug_camera is not None and self.debug_overlay:
             # Debug overlays draw on the pre-flip float frame (core.py:638),
             # then flip + gamma 0.8 + quantize on the host.
@@ -342,3 +344,65 @@ class Scene:
         out, zbuf, tid, stencil = render_frame_jit(cfg, dyn)
         self.last_zbuf, self.last_tid, self.last_stencil = zbuf, tid, stencil
         return np.asarray(out)
+
+    # ------------------------------------------------------------- stats
+
+    def stats(self):
+        """Per-model render statistics from the last render() — the batched
+        equivalent of the reference's per-face Errors printout
+        (core.py:634-636). Returns a list of dicts of ints."""
+        if self.last_tid is None:
+            raise RuntimeError("render() must run before stats()")
+        from tpu_renderer.ops.pipeline import face_statistics
+
+        cfg, dyn = self._prepare()
+        raw = face_statistics(cfg, dyn, jnp.asarray(self.last_tid))
+        return [{k: int(v) for k, v in s.items()} for s in raw]
+
+    def _render_debug_shader(self, cfg, dyn) -> np.ndarray:
+        """Wireframe / points shaders (reference triangular.py:269-283): line
+        and point splatting are host-side debug paths; the device still
+        resolves depth."""
+        import dataclasses
+
+        from tpu_renderer.ops.overlay import draw_points, draw_wireframe
+        from tpu_renderer.ops.pipeline import SHADER_GOURAUD, render_core_jit
+
+        cfg2 = dataclasses.replace(cfg, shader=SHADER_GOURAUD)
+        _, zbuf, tid, stencil = render_core_jit(cfg2, dyn)
+        zb = np.asarray(zbuf).astype(np.float64)
+        self.last_zbuf, self.last_tid, self.last_stencil = zb, tid, stencil
+
+        h, w = self.resolution
+        if cfg.background == "color":
+            frame = np.broadcast_to(
+                np.asarray(dyn["background_color"], np.float64),
+                (h, w, 3)).copy()
+        else:
+            from tpu_renderer.ops.cubemap import fill_frame_from_skybox
+            frame = np.asarray(fill_frame_from_skybox(
+                dyn["skybox"], self.camera._matrices(),
+                self.resolution)).astype(np.float64)
+
+        mvp = np.asarray(self.camera.MVP, np.float64)
+        vp = np.asarray(self.camera.viewport, np.float64)
+        tris, normals = [], []
+        for m in self.models:
+            v = m.vertices.astype(np.float64) @ mvp
+            v = v / v[:, [3]]
+            v = v @ vp
+            fv = m.face_array[:, :, 0]
+            tris.append(v[fv][:, :, :3])
+            world = m.vertices[:, :3].astype(np.float64)
+            n = np.cross(world[fv[:, 1]] - world[fv[:, 0]],
+                         world[fv[:, 2]] - world[fv[:, 0]])
+            norm = np.linalg.norm(n, axis=1, keepdims=True)
+            normals.append(n / np.where(norm == 0, 1, norm))
+        tris = np.concatenate(tris)
+        normals = np.concatenate(normals)
+
+        if self.shader == "wireframe":
+            draw_wireframe(frame, zb, tris)
+        else:
+            draw_points(frame, tris, self.camera.position, normals)
+        return (np.clip(frame[::-1] ** 0.8, 0, 1) * 255).astype(np.uint8)

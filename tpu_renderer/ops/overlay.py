@@ -170,3 +170,50 @@ def draw_axis(frame, camera_m, z_buffer, sign, font_path=None):
                     out[xi + i, yi + i] = col
                     z_buffer[xi + i, yi + i] = zz
     return out / 255
+
+
+def draw_wireframe(frame, z_buffer, screen_faces,
+                   color=(64 / 255, 64 / 255, 128 / 255)):
+    """Wireframe shading (reference triangular.py:269-274): DDA edges with the
+    reference's raw z (pre-linearization) against the linearized z-buffer —
+    a quirk kept verbatim. frame/z_buffer modified in place.
+
+    screen_faces: (F, 3, 3) post-viewport vertex xyz per face. The reference
+    writes color (64, 64, 128) into the float frame (255-scale quirk); we
+    scale to [0, 1] so quantization doesn't blow out.
+    """
+    from tpu_renderer.ops.lines import bresenham_line
+
+    h, w = z_buffer.shape
+    color = np.asarray(color)
+    for tri in screen_faces:
+        for i in range(3):
+            p1, p2 = tri[i], tri[(i + 1) % 3]
+            for yy, xx, zz in bresenham_line(p1, p2):
+                xi, yi = int(xx), int(yy)
+                if 0 < xi < h - 1 and 0 < yi < w - 1 and \
+                        (z_buffer[xi, yi] - zz) > 0:
+                    frame[xi, yi] = color
+                    z_buffer[xi, yi] = zz
+    return frame
+
+
+def draw_points(frame, screen_faces, camera_position, world_normals):
+    """Vertex-point shading (reference triangular.py:277-283): each edge's
+    endpoints in red/blue, faces backface-culled against the camera direction.
+    frame modified in place; colors are [0, 1]-scaled."""
+    h, w = frame.shape[:2]
+    cam_dir = -np.asarray(camera_position, np.float64)
+    n = np.linalg.norm(cam_dir)
+    cam_dir = cam_dir / (n if n else 1.0)
+    for tri, normal in zip(screen_faces, world_normals):
+        if normal @ cam_dir <= 0:
+            continue
+        pts = tri.astype(np.int32)
+        for i in range(3):
+            p1, p2 = pts[i], pts[(i + 1) % 3]
+            if 0 <= p1[1] < h and 0 <= p1[0] < w:
+                frame[p1[1], p1[0]] = (1.0, 0, 0)
+            if 0 <= p2[1] < h and 0 <= p2[0] < w:
+                frame[p2[1], p2[0]] = (0, 0, 1.0)
+    return frame

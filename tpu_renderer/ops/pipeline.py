@@ -40,7 +40,8 @@ SHADER_GENERAL = "general"
 SHADER_FLAT = "flat"
 SHADER_GOURAUD = "gouraud"
 SHADER_PBR = "pbr"
-SHADER_WIREFRAME = "wireframe"
+SHADER_WIREFRAME = "wireframe"     # host-side debug shader (Scene.render)
+SHADER_POINTS = "points"           # host-side debug shader (Scene.render)
 
 
 @dataclass(frozen=True)
@@ -263,7 +264,9 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
         pix = {
             "normal_raw": normalize(jnp.einsum("...k,...kc->...c", bar, vn)),
             "screen_pos": jnp.einsum("...k,...kc->...c", bar, szlin_pos),
-            "metallic": g("pm")[..., None], "roughness": g("pr")[..., None],
+            # roughness stays rank-(H, W): the GGX terms combine it with
+            # (H, W) dot products; metallic broadcasts against RGB.
+            "metallic": g("pm")[..., None], "roughness": g("pr"),
             "ao": g("ka"),
         }
         rgb = sh.shade_pbr(pix, light, dyn["camera"]["position"])
@@ -491,3 +494,63 @@ render_frame_jit = jax.jit(render_frame, static_argnames=("cfg",))
 def render_core_jit(cfg, dyn):
     """Pre-flip float frame + buffers — for host-side debug overlays."""
     return render_core(cfg, dyn)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def face_statistics(cfg: SceneConfig, dyn, tid):
+    """Per-model face counters, the batched equivalent of the reference's
+    per-face Errors tally (core.py:624-636, triangular.py:15-20).
+
+    Returns a list (one dict per model) of device scalars:
+    total, rendered (faces owning >= 1 pixel in the visibility buffer),
+    backface_culled, degenerate (EMPTY_B), offscreen (WRONG_MIN_MAX /
+    empty clamped bbox), and occluded_or_clipped (the remainder — the
+    reference's CLIPPED / EMPTY_Z outcomes are fragment-level and collapse
+    here).
+    """
+    height, width = cfg.resolution
+    cam_m = _cam_matrices(cfg, dyn["camera"], cfg.cam_projection_type)
+
+    # Which faces own at least one pixel.
+    g_total = sum(md["vid"].shape[0] for md in dyn["models"])
+    owned = jnp.zeros(g_total + 1, jnp.int32).at[
+        jnp.clip(tid, -1) + 0].add(jnp.where(tid >= 0, 1, 0), mode="drop")
+
+    stats = []
+    offset = 0
+    for mc, md in zip(cfg.models, dyn["models"]):
+        verts = md["verts"]
+        va = transform_vertices(verts, cam_m["MVP"], cam_m["viewport"],
+                                dyn["camera"]["near"], dyn["camera"]["far"])
+        vid = md["vid"]
+        F = vid.shape[0]
+        screen = va["screen"][vid]
+        sx, sy, sz = screen[..., 0], screen[..., 1], screen[..., 2]
+
+        from tpu_renderer.ops.vertex import screen_normal_z
+        from tpu_renderer.ops.transforms import bound_box_batch
+        nz = screen_normal_z(sx, sy, sz)
+        real = md["pad_valid"]
+        culled = real & (nz < 0) if cfg.backface_culling else jnp.zeros(F, bool)
+
+        v0x, v0y = sx[:, 1] - sx[:, 0], sy[:, 1] - sy[:, 0]
+        v1x, v1y = sx[:, 2] - sx[:, 0], sy[:, 2] - sy[:, 0]
+        denom = ((v0x * v0x + v0y * v0y) * (v1x * v1x + v1y * v1y) -
+                 (v0x * v1x + v0y * v1y) ** 2)
+        degenerate = real & ~culled & (denom == 0)
+
+        _, box_valid = bound_box_batch(jnp.stack([sx, sy], -1), height, width)
+        offscreen = real & ~culled & ~degenerate & ~box_valid
+
+        rendered = real & (owned[offset:offset + F] > 0)
+        leftover = real & ~culled & ~degenerate & ~offscreen & ~rendered
+        stats.append({
+            "total": real.sum(),
+            "rendered": rendered.sum(),
+            "backface_culled": culled.sum(),
+            "degenerate": degenerate.sum(),
+            "offscreen": offscreen.sum(),
+            "occluded_or_clipped": leftover.sum(),
+        })
+        offset += F
+    return stats
