@@ -139,7 +139,9 @@ def clip_polygon(verts, count, planes):
         v2, c2 = _clip_one_plane(v, c, plane)
         return (v2, c2.astype(jnp.int32)), None
 
-    (verts, count), _ = jax.lax.scan(body, (verts, count), planes)
+    # Plane count is tiny and static: unroll to avoid while-loop overhead.
+    (verts, count), _ = jax.lax.scan(body, (verts, count), planes,
+                                     unroll=True)
     return verts, count
 
 

@@ -154,10 +154,20 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
     return raster, attrs
 
 
-def _sample_stack(stack, slot, row, col):
-    """Gather from a padded texture stack: stack (N, TH, TW, C) indexed by
-    per-pixel (slot, row, col)."""
-    return stack[jnp.clip(slot, 0), row, col]
+def _sample_stack(stack, slot, row, col, scale_off):
+    """Gather one RGB-packed u32 texel per pixel and unpack to float RGB.
+
+    One u32 gather + shift/mask is ~5x cheaper than an f32[..., 3] slice
+    gather on TPU (gathers cost per indexed element). ``scale_off`` is the
+    stack's (scale, offset) dequantization affine (models/scene.py
+    _texture_stack).
+    """
+    packed = stack[jnp.clip(slot, 0).astype(jnp.int32), row, col]
+    r = (packed & 0xFF).astype(jnp.float32)
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    b = ((packed >> 16) & 0xFF).astype(jnp.float32)
+    rgb = jnp.stack([r, g, b], axis=-1) / 255.0
+    return rgb * scale_off[0] + scale_off[1]
 
 
 def _wrap_index(x, dim):
@@ -210,7 +220,8 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
         if not mc.has_map_kd:
             continue
         row, col = _stack_uv_index(pb, uv, g("kd_shape"))
-        sampled = _sample_stack(md["kd_stack"], g("kd_slot"), row, col)
+        sampled = _sample_stack(md["kd_stack"], g("kd_slot"), row, col,
+                                md["kd_scale_off"])
         mask = (model_id == m) & (g("kd_slot") >= 0)
         color = jnp.where(mask[..., None], sampled, color)
 
@@ -221,7 +232,8 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
         if not mc.has_norm:
             continue
         row, col = _stack_uv_index(pb, uv, g("norm_shape"))
-        sampled = _sample_stack(md["norm_stack"], g("norm_slot"), row, col)
+        sampled = _sample_stack(md["norm_stack"], g("norm_slot"), row, col,
+                                md["norm_scale_off"])
         tangent_n = sh.tangent_basis_normal(sampled, pb, world, uv, vn)
         mapped = jnp.where(g("norm_tangent")[..., None], tangent_n, sampled)
         mask = (model_id == m) & (g("norm_slot") >= 0)
@@ -234,7 +246,8 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
         if not mc.has_map_ks:
             continue
         row, col = _stack_uv_index(pb, uv, g("ks_shape"))
-        sampled = _sample_stack(md["ks_stack"], g("ks_slot"), row, col)
+        sampled = _sample_stack(md["ks_stack"], g("ks_slot"), row, col,
+                                md["ks_scale_off"])
         mask = (model_id == m) & (g("ks_slot") >= 0)
         specular_light = jnp.where(mask[..., None],
                                    sampled[..., 0:1] * 255.0, specular_light)
@@ -315,8 +328,8 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0):
             continue
         row, col = tex_index(ch(rp.GB_KD_SLOT + 1), ch(rp.GB_KD_SLOT + 2))
         slot = ch(rp.GB_KD_SLOT)
-        sampled = md["kd_stack"][
-            jnp.clip(slot, 0).astype(jnp.int32), row, col]
+        sampled = _sample_stack(md["kd_stack"], slot, row, col,
+                                md["kd_scale_off"])
         mask = (model_id == m) & (slot >= 0)
         color = jnp.where(mask[..., None], sampled, color)
 
@@ -327,8 +340,8 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0):
             continue
         row, col = tex_index(ch(rp.GB_NORM_SLOT + 1), ch(rp.GB_NORM_SLOT + 2))
         slot = ch(rp.GB_NORM_SLOT)
-        sampled = md["norm_stack"][
-            jnp.clip(slot, 0).astype(jnp.int32), row, col]
+        sampled = _sample_stack(md["norm_stack"], slot, row, col,
+                                md["norm_scale_off"])
         tangent_n = (normalize(vec(rp.GB_TAN)) * sampled[..., 0:1] +
                      normalize(vec(rp.GB_BIT)) * sampled[..., 1:2] +
                      n_base * sampled[..., 2:3])
@@ -343,8 +356,8 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0):
             continue
         row, col = tex_index(ch(rp.GB_KS_SLOT + 1), ch(rp.GB_KS_SLOT + 2))
         slot = ch(rp.GB_KS_SLOT)
-        sampled = md["ks_stack"][
-            jnp.clip(slot, 0).astype(jnp.int32), row, col]
+        sampled = _sample_stack(md["ks_stack"], slot, row, col,
+                                md["ks_scale_off"])
         mask = (model_id == m) & (slot >= 0)
         specular_light = jnp.where(mask[..., None],
                                    sampled[..., 0:1] * 255.0, specular_light)

@@ -209,21 +209,20 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
             cov &= (flags & 1) > 0                       # valid
             return f, flags, cov, z * sign
 
-        def zbody(k, _):
-            f, flags, cov, zs = frag(k, clip=True)
-            upd = cov & (zb_ref[:] >= zs) & ((flags & 4) > 0)
-            zb_ref[:] = jnp.where(upd, zs, zb_ref[:])
-            return 0
-
-        jax.lax.fori_loop(0, count, zbody, 0)
-
-        def vbody(k, _):
+        def body(k, _):
+            # Single incremental pass: a claim against the *running* z-buffer
+            # with last-tie overwrite yields exactly the reference's two-pass
+            # result (pass-1 z writes + pass-3 re-test vs the final buffer,
+            # triangular.py:99-118): any face claiming before the minimum
+            # arrives is overwritten by the face that achieves it, and every
+            # claim after that equals a final-buffer test.
             f, flags, cov, zs = frag(k, clip=True)
             upd = cov & (zb_ref[:] >= zs)
             tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
+            zb_ref[:] = jnp.where(upd & ((flags & 4) > 0), zs, zb_ref[:])
             return 0
 
-        jax.lax.fori_loop(0, count, vbody, 0)
+        jax.lax.fori_loop(0, count, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -570,21 +569,15 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             cov &= (flags & 1) > 0
             return f, flags, cov, z * sign
 
-        def zbody(k, _):
-            f, flags, cov, zs = frag(k, clip=True)
-            upd = cov & (zb_ref[:] >= zs) & ((flags & 4) > 0)
-            zb_ref[:] = jnp.where(upd, zs, zb_ref[:])
-            return 0
-
-        jax.lax.fori_loop(0, count, zbody, 0)
-
-        def vbody(k, _):
+        def body(k, _):
+            # Single incremental z+id pass — see visibility_pallas.
             f, flags, cov, zs = frag(k, clip=True)
             upd = cov & (zb_ref[:] >= zs)
             tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
+            zb_ref[:] = jnp.where(upd & ((flags & 4) > 0), zs, zb_ref[:])
             return 0
 
-        jax.lax.fori_loop(0, count, vbody, 0)
+        jax.lax.fori_loop(0, count, body, 0)
 
         def gbody(k, _):
             f = idx_ref[0, k, 0]
