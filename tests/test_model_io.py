@@ -157,3 +157,16 @@ def test_render_stats():
     for s in stats:
         assert (s["rendered"] + s["backface_culled"] + s["degenerate"]
                 + s["offscreen"] + s["occluded_or_clipped"]) >= s["total"] - 1
+
+
+def test_model_silhouette_helper(reference, diablo, diablo_path):
+    """Model.silhouette() equals the reference's XOR set, Edge semantics."""
+    from tpu_renderer.models.model import Edge
+
+    ref_model = reference.core.Model.load_model(diablo_path)
+    light = reference.core.Light(position=(5, 5, 0), center=(0, 0.5, 0.5))
+    ref_set = _reference_silhouette(reference, ref_model, light)
+    ours = diablo.silhouette((5, 5, 0))
+    assert {frozenset(e) for e in ours} == {frozenset(e) for e in ref_set}
+    assert Edge((3, 7)) == Edge((7, 3))
+    assert hash(Edge((3, 7))) == hash(Edge((7, 3)))

@@ -15,24 +15,40 @@ Public API mirrors the reference NumPy renderer (Denizantip/py-numpy-renderer):
     scene.add_model(model)
     frame = scene.render()          # (H, W, 3) uint8
 """
+import sys as _sys
+
 from tpu_renderer.constants import PROJECTION_TYPE, SUBSYSTEM, SYSTEM
 from tpu_renderer.models.camera import Camera, Light
+from tpu_renderer.models.face import Face
 from tpu_renderer.models.model import Model
 from tpu_renderer.models.scene import Scene
 from tpu_renderer.ops.cubemap import CubeMap
+from tpu_renderer.ops.errors import Errors
 from tpu_renderer.ops.lightning import Lightning
 from tpu_renderer.ops.pipeline import (SHADER_FLAT, SHADER_GENERAL,
                                        SHADER_GOURAUD, SHADER_PBR,
-                                       SHADER_WIREFRAME)
+                                       SHADER_POINTS, SHADER_WIREFRAME)
 from tpu_renderer.ops.transforms import (rotate, rotate_xyz, scale,
                                          translation)
 
+# Reference-style module aliases: the reference is imported as
+# ``from transformation import scale`` / ``from obj.lightning import
+# Lightning`` (main.py:6-10); mirror those paths under this package.
+from tpu_renderer import constants  # noqa: F401
+from tpu_renderer.ops import transforms as transformation
+from tpu_renderer.ops import lightning  # noqa: F401
+from tpu_renderer.ops import frustum as plane_intersection
+
+_sys.modules[__name__ + ".transformation"] = transformation
+_sys.modules[__name__ + ".plane_intersection"] = plane_intersection
+
 __all__ = [
-    "Model", "Camera", "Light", "Scene", "CubeMap", "Lightning",
-    "scale", "translation", "rotate", "rotate_xyz",
+    "Model", "Camera", "Light", "Scene", "CubeMap", "Lightning", "Face",
+    "Errors", "scale", "translation", "rotate", "rotate_xyz",
     "SYSTEM", "SUBSYSTEM", "PROJECTION_TYPE",
     "SHADER_GENERAL", "SHADER_FLAT", "SHADER_GOURAUD", "SHADER_PBR",
-    "SHADER_WIREFRAME",
+    "SHADER_WIREFRAME", "SHADER_POINTS",
+    "transformation", "plane_intersection", "constants", "lightning",
 ]
 
 __version__ = "0.1.0"

@@ -302,3 +302,41 @@ class Model:
         """Material bound to a material-group index (reference core.py:125)."""
         name = self.material_group[group_index]
         return self.materials.get(name, self.materials["default"])
+
+    def silhouette(self, light_position) -> set:
+        """Silhouette edge set w.r.t. a light position — the reference's
+        ``model.silhouette`` after its pass-1 XOR loop (triangular.py:294-302),
+        computed from the EdgeTable parity in one vectorized pass (and without
+        the reference's never-cleared-set bug, SURVEY.md §2 quirk 3).
+
+        Returns a set of :class:`Edge` vertex-id pairs oriented like the last
+        light-facing adjacent face."""
+        fv = self._faces[:, :, 0]
+        v = self.vertices[:, :3]
+        n = np.cross(v[fv[:, 1]] - v[fv[:, 0]], v[fv[:, 2]] - v[fv[:, 0]])
+        facing = n @ np.asarray(light_position, np.float32)[:3] > 0
+
+        et = self.edge_table
+        inc_lf = np.repeat(facing, 3)
+        parity = np.zeros(et.num_edges, np.int64)
+        np.add.at(parity, et.incidence_edge, inc_lf.astype(np.int64))
+        last = np.full(et.num_edges, -1, np.int64)
+        order = np.where(inc_lf, np.arange(len(inc_lf)), -1)
+        np.maximum.at(last, et.incidence_edge, order)
+        silhouette_mask = (parity % 2 == 1) & (last >= 0)
+        return {Edge(tuple(et.incidence_dir[last[e]]))
+                for e in np.nonzero(silhouette_mask)[0]}
+
+
+class Edge(tuple):
+    """Order-insensitive vertex-id pair (reference triangular.py:286-291)."""
+
+    def __eq__(self, other):
+        return ((other[0] == self[0] and other[1] == self[1]) or
+                (other[0] == self[1] and other[1] == self[0]))
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __hash__(self):
+        return hash(frozenset(self))
