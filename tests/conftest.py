@@ -60,6 +60,7 @@ class ReferenceModules:
         import core                                # noqa: F401
         import triangular                          # noqa: F401
         import cube_map                            # noqa: F401
+        import frustums                            # noqa: F401
         from obj.lightning import Lightning        # noqa: F401
 
         self.constants = constants
@@ -68,6 +69,7 @@ class ReferenceModules:
         self.core = core
         self.triangular = triangular
         self.cube_map = cube_map
+        self.frustums = frustums
         self.Lightning = Lightning
 
 

@@ -152,7 +152,8 @@ class Model:
     # ------------------------------------------------------------------ IO
 
     @classmethod
-    def load_model(cls, name, shadowing: bool = True) -> "Model":
+    def load_model(cls, name, shadowing: bool = True,
+                   use_native: Optional[bool] = None) -> "Model":
         """Parse a Wavefront OBJ file (https://paulbourke.net/dataformats/obj/).
 
         Same grammar subset and index conventions as the reference
@@ -160,7 +161,29 @@ class Model:
         polygons fan-triangulated, the active material's group index appended
         as a 4th column per corner, 1-based indices shifted to 0-based with
         negative (relative) indices passed through.
+
+        ``use_native``: True forces the C++ parser (models/native.py), False
+        the Python one, None (default) auto-selects — the native loader is
+        ~20-50x faster on production-scale meshes and produces identical
+        arrays (tests/test_native_loader.py).
         """
+        if use_native is not False:
+            from tpu_renderer.models import native
+
+            parsed = native.load_obj_native(name) if native.native_available() \
+                else None
+            if parsed is not None:
+                vertices, uv, normals, faces, mtllib, groups = parsed
+                materials = {"default": Material()}
+                if mtllib:
+                    mtl_path = os.path.join(os.path.dirname(name), mtllib)
+                    if os.path.exists(mtl_path):
+                        materials |= cls.parse_mtl(mtl_path)
+                return cls(vertices, uv, normals, faces, shadowing,
+                           materials=materials, material_group=groups)
+            if use_native:
+                raise RuntimeError("native OBJ loader unavailable")
+
         vertices, faces, normals, uv = [], [], [], []
         mtl = "default"
         mtl_group = ["default"]
