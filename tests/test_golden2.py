@@ -99,3 +99,39 @@ def test_golden_mtl_cube(reference):
         subsystem=reference.transformation.SUBSYSTEM.OPENGL)
     ref_scene.add_model(ref_model)
     compare(scene.render(), ref_scene.render(), "mtl_cube")
+
+
+def test_golden_chained_transforms_multimodel(reference):
+    """Two models with @-chained scale/translation/rotate transforms
+    (BASELINE config 4; reference core.py:350-352, main.py:43-62)."""
+    cam_kw = dict(position=(1.5, 2.0, 3.5), center=(0, 0, 0), fovy=70,
+                  near=0.01, far=100, backface_culling=False)
+    cube_path = os.path.join(OBJ, "obj_loader_test", "cube.obj")
+    diablo_path = os.path.join(OBJ, "diablo3_pose", "diablo3_pose.obj")
+
+    d = tr.Model.load_model(diablo_path)
+    d = d @ tr.scale(0.8) @ tr.translation([0.4, 0, 0]) @ tr.rotate_xyz([0, 30, 0])
+    c = tr.Model.load_model(cube_path)
+    c = c @ tr.scale(0.4) @ tr.translation([-1.0, 0.2, 0.5])
+    scene = tr.Scene(tr.Camera(**cam_kw),
+                     tr.Light((4, 5, 1), ambient_strength=0.15),
+                     shadows=True, debug_camera=tr.Camera(**cam_kw),
+                     resolution=RES, system=tr.SYSTEM.LH,
+                     subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(d)
+    scene.add_model(c)
+
+    rt = reference.transformation
+    rd = reference.core.Model.load_model(diablo_path)
+    rd = rd @ rt.scale(0.8) @ rt.translation([0.4, 0, 0]) @ rt.rotate_xyz([0, 30, 0])
+    rc = reference.core.Model.load_model(cube_path)
+    rc = rc @ rt.scale(0.4) @ rt.translation([-1.0, 0.2, 0.5])
+    ref_scene = reference.core.Scene(
+        reference.core.Camera(**cam_kw),
+        reference.core.Light((4, 5, 1), ambient_strength=0.15),
+        shadows=True, debug_camera=reference.core.Camera(**cam_kw),
+        resolution=RES, system=rt.SYSTEM.LH,
+        subsystem=rt.SUBSYSTEM.OPENGL)
+    ref_scene.add_model(rd)
+    ref_scene.add_model(rc)
+    compare(scene.render(), ref_scene.render(), "chained_multimodel")
