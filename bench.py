@@ -112,5 +112,107 @@ def main():
     return last
 
 
+def _bench_scene(name, scene, n=15, animate=None):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_renderer.ops.pipeline import render_frame
+
+    cfg, dyn = scene._prepare()
+
+    @jax.jit
+    def step(d, pos):
+        d = dict(d, camera=dict(d["camera"], position=pos))
+        return render_frame(cfg, d)[0]
+
+    pos0 = jnp.asarray(scene.camera.position, jnp.float32)
+    positions = (animate(n) if animate
+                 else jnp.broadcast_to(pos0, (n, 3)))
+    np.asarray(step(dyn, positions[0]))
+    t0 = time.time()
+    frames = [step(dyn, positions[i]) for i in range(n)]
+    np.asarray(frames[-1])
+    fps = n / (time.time() - t0)
+    faces = sum(m.num_faces for m in scene.models)
+    print(json.dumps({"config": name, "fps": round(fps, 2),
+                      "mtri_per_s": round(faces * fps / 1e6, 3)}))
+
+
+def bench_all():
+    """Secondary benchmarks: BASELINE.json configs 1-4 (one JSON line each).
+
+    The driver consumes only main()'s single line; this mode documents the
+    full config matrix."""
+    import tpu_renderer as tr
+    from tpu_renderer.models.gizmos import make_cube, make_floor
+
+    base = "/root/reference/obj/diablo3_pose"
+
+    # 1: diablo @512², Gouraud, no shadows.
+    d = tr.Model.load_model(os.path.join(base, "diablo3_pose.obj"))
+    cam = tr.Camera((0.5, 3, 5), center=(0, 0, 0), fovy=90, near=1e-4, far=400)
+    s1 = tr.Scene(cam, tr.Light((5, 5, 0)), resolution=(512, 512),
+                  system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL,
+                  shader="gouraud")
+    s1.add_model(d)
+    _bench_scene("1: diablo 512 gouraud no-shadows", s1)
+
+    # 2: textured diablo + backface culling, perspective and orthographic.
+    for proj, label in ((tr.PROJECTION_TYPE.PERSPECTIVE, "persp"),
+                        (tr.PROJECTION_TYPE.ORTHOGRAPHIC, "ortho")):
+        d2 = tr.Model.load_model(os.path.join(base, "diablo3_pose.obj"))
+        d2.textures.register("diffuse",
+                             os.path.join(base, "diablo3_pose_diffuse.tga"),
+                             normalize=False)
+        cam2 = tr.Camera((0.5, 3, 5), center=(0, 0, 0), fovy=45, near=1e-4,
+                         far=400, backface_culling=True, projection_type=proj)
+        s2 = tr.Scene(cam2, tr.Light((5, 5, 0), ambient_strength=0.1),
+                      resolution=(512, 512), system=tr.SYSTEM.LH,
+                      subsystem=tr.SUBSYSTEM.OPENGL)
+        s2.add_model(d2)
+        _bench_scene(f"2: textured diablo backface {label}", s2)
+
+    # 3: floor + handgrip-textured cube, tangent normal mapping, spot light.
+    floor = make_floor(2.0, y=-1.0)
+    floor.textures.register("diffuse", "/root/reference/obj/floor_diffuse.tga",
+                            normalize=False)
+    floor.textures.register("normals",
+                            "/root/reference/obj/floor_nm_tangent.tga",
+                            tangent=True)
+    grip = make_cube(1.0)
+    grip.textures.register("diffuse",
+                           "/root/reference/obj/handgrip_color.jpg",
+                           normalize=False)
+    s3 = tr.Scene(tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60, near=0.01,
+                            far=50),
+                  tr.Light((3, 4, 2), light_type=tr.Lightning.SPOT_LIGHTNING,
+                           ambient_strength=0.1),
+                  resolution=(512, 512), system=tr.SYSTEM.LH,
+                  subsystem=tr.SUBSYSTEM.OPENGL)
+    s3.add_model(floor)
+    s3.add_model(grip)
+    _bench_scene("3: floor+handgrip normal-mapped spot", s3)
+
+    # 4: skybox + multi-model chained transforms.
+    d4 = tr.Model.load_model(os.path.join(base, "diablo3_pose.obj"))
+    d4 = d4 @ tr.scale(0.8) @ tr.translation([0.3, 0, 0]) @ tr.rotate([0, 20, 0])
+    c4 = make_cube(0.6) @ tr.translation([-1, 0, 0.5])
+    sky = tr.CubeMap(**{s: f"/root/reference/obj/skybox/{s}.jpg"
+                        for s in ("back", "bottom", "front", "left", "right",
+                                  "top")})
+    s4 = tr.Scene(tr.Camera((1.5, 2, 3.5), center=(0, 0, 0), fovy=70,
+                            near=0.01, far=100),
+                  tr.Light((4, 5, 1), ambient_strength=0.15),
+                  resolution=(512, 512), system=tr.SYSTEM.LH,
+                  subsystem=tr.SUBSYSTEM.OPENGL, skymap=sky)
+    s4.add_model(d4)
+    s4.add_model(c4)
+    _bench_scene("4: skybox multi-model chained", s4)
+
+
 if __name__ == "__main__":
+    import sys
+
+    if "--all" in sys.argv:
+        bench_all()
     main()
