@@ -170,3 +170,32 @@ def test_model_silhouette_helper(reference, diablo, diablo_path):
     assert {frozenset(e) for e in ours} == {frozenset(e) for e in ref_set}
     assert Edge((3, 7)) == Edge((7, 3))
     assert hash(Edge((3, 7))) == hash(Edge((7, 3)))
+
+
+def test_empty_scene_renders_background():
+    import tpu_renderer as tr
+
+    scene = tr.Scene(tr.Camera((0, 0, 2), center=(0, 0, 0)),
+                     tr.Light((1, 1, 1)), resolution=(32, 64),
+                     system=tr.SYSTEM.RH, subsystem=tr.SUBSYSTEM.OPENGL)
+    frame = scene.render()
+    # Uniform default background (core.py:600) after flip+gamma.
+    assert frame.shape == (32, 64, 3)
+    assert (frame == frame[0, 0]).all()
+
+
+def test_model_without_uv_or_normals():
+    """Camera gizmo mesh: no vt/vn at all; falls back to face normals."""
+    import tpu_renderer as tr
+    from tpu_renderer.models.gizmos import make_camera_gizmo
+
+    m = make_camera_gizmo(0.5)
+    assert m.uv is None and m.normals is None
+    scene = tr.Scene(tr.Camera((1.5, 1, 2), center=(0, 0, 0.5), fovy=70,
+                               near=0.01, far=20, backface_culling=False),
+                     tr.Light((2, 3, 2), ambient_strength=0.2),
+                     resolution=(48, 64), system=tr.SYSTEM.RH,
+                     subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(m)
+    frame = scene.render()
+    assert frame.std() > 0

@@ -411,6 +411,20 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         dbg_mvp = _cam_matrices(cfg, dyn["debug_camera"],
                                 cfg.dbg_projection_type)["MVP"]
 
+    if not cfg.models:
+        # Empty scene: background only (the reference renders its fill color).
+        zbuf = jnp.full((local_height, width), jnp.inf * sign, jnp.float32)
+        tid = jnp.full((local_height, width), -1, jnp.int32)
+        stencil = jnp.zeros((local_height, width), jnp.int32)
+        if cfg.background == "color":
+            frame = jnp.broadcast_to(dyn["background_color"],
+                                     (local_height, width, 3))
+        else:
+            from tpu_renderer.ops.cubemap import fill_frame_from_skybox
+            frame = fill_frame_from_skybox(dyn["skybox"], cam_m,
+                                           (local_height, width), row0)
+        return frame, zbuf, tid, stencil
+
     tris_idx = jax.lax.axis_index(axis_tris) if axis_tris else 0
     n_tris = jax.lax.axis_size(axis_tris) if axis_tris else 1
     faces, attrs = _build_face_batch(cfg, dyn, cam_m, dbg_mvp,
