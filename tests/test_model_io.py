@@ -199,3 +199,68 @@ def test_model_without_uv_or_normals():
     scene.add_model(m)
     frame = scene.render()
     assert frame.std() > 0
+
+
+def test_animated_vertices_no_recompile():
+    """Moving a model's vertices re-renders without recompiling."""
+    import jax
+    import tpu_renderer as tr
+    from tpu_renderer.models.gizmos import make_cube
+    from tpu_renderer.ops import transforms as T
+
+    cube = make_cube(1.0)
+    scene = tr.Scene(tr.Camera((2, 2, 4), center=(0, 0, 0), fovy=60,
+                               near=0.01, far=50),
+                     tr.Light((3, 4, 2), ambient_strength=0.2),
+                     resolution=(32, 64), system=tr.SYSTEM.RH,
+                     subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(cube)
+    f0 = scene.render()
+    from tpu_renderer.ops.pipeline import render_frame_jit
+    misses = render_frame_jit._cache_miss_count if hasattr(
+        render_frame_jit, "_cache_miss_count") else None
+
+    # Animate: replace the model's vertices in place (per-frame motion).
+    moved = cube @ T.translation([0.5, 0, 0])
+    cube.vertices = moved.vertices
+    f1 = scene.render()
+    assert (f0 != f1).any()
+    # And the camera: same compiled program.
+    scene.camera.set_position((3, 1, 3))
+    f2 = scene.render()
+    assert (f1 != f2).any()
+
+
+def test_scene_independence():
+    """Two scenes sharing a model don't corrupt each other (the reference's
+    Bound descriptor shares state across Scene instances, core.py:527-529)."""
+    import tpu_renderer as tr
+    from tpu_renderer.models.gizmos import make_cube
+
+    cube = make_cube(1.0)
+    kw = dict(resolution=(32, 64), system=tr.SYSTEM.RH,
+              subsystem=tr.SUBSYSTEM.OPENGL)
+    s1 = tr.Scene(tr.Camera((2, 2, 4), center=(0, 0, 0)),
+                  tr.Light((3, 4, 2), ambient_strength=0.2), **kw)
+    s2 = tr.Scene(tr.Camera((-2, 2, 4), center=(0, 0, 0)),
+                  tr.Light((-3, 4, 2), ambient_strength=0.6), **kw)
+    s1.add_model(cube)
+    s2.add_model(cube)
+    f1a = s1.render()
+    f2 = s2.render()
+    f1b = s1.render()
+    np.testing.assert_array_equal(f1a, f1b)   # s2 didn't corrupt s1
+    assert (f1a != f2).any()
+    assert s1.camera.scene is s1 or s2.camera.scene is s2
+
+
+def test_nan_debug_scope():
+    from tpu_renderer.utils.profiling import nan_debug
+    import jax
+    import jax.numpy as jnp
+
+    with nan_debug():
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jnp.log(jnp.zeros(3) - 1.0).block_until_ready()
+    assert not jax.config.jax_debug_nans

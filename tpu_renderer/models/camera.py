@@ -10,8 +10,6 @@ no shared mutable default Camera/Light arguments.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

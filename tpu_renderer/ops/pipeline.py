@@ -20,21 +20,21 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from tpu_renderer.constants import PROJECTION_TYPE, SYSTEM
 from tpu_renderer.models.camera import camera_matrices
 from tpu_renderer.ops import shading as sh
 from tpu_renderer.ops.lightning import Lightning
-from tpu_renderer.ops.raster_xla import render_visibility
 from tpu_renderer.ops.transforms import normalize
 from tpu_renderer.ops.vertex import gather_faces, transform_vertices
 
-__all__ = ["SceneConfig", "ModelConfig", "render_frame", "SHADER_GENERAL",
-           "SHADER_FLAT", "SHADER_GOURAUD", "SHADER_PBR", "SHADER_WIREFRAME"]
+__all__ = ["SceneConfig", "ModelConfig", "render_frame", "render_core",
+           "face_statistics", "SHADER_GENERAL", "SHADER_FLAT",
+           "SHADER_GOURAUD", "SHADER_PBR", "SHADER_WIREFRAME",
+           "SHADER_POINTS"]
 
 SHADER_GENERAL = "general"
 SHADER_FLAT = "flat"

@@ -10,10 +10,12 @@ terms (SURVEY.md §7 design stance):
   exactly ``count[tile]`` times.
 - **Kernel (Pallas):** grid = screen tiles; each program owns its pixel block
   exclusively (no contention — the z-buffer resolve is tile-local). Per tile:
-  a z pre-pass loop over the binned faces (sequential, preserving the
-  reference's equal-depth last-wins semantics, triangular.py:99-118) and a
-  visibility loop claiming winners against the tile's final z — both fully
-  vectorized over the 8k-pixel block on the VPU.
+  one incremental loop over the binned faces resolves depth AND winner id
+  simultaneously (claims against the running z-buffer with last-tie overwrite
+  — provably equal to the reference's two-pass z-write + final-re-test
+  semantics, triangular.py:99-118), fully vectorized over the 8k-pixel block
+  on the VPU; the G-buffer variant adds a second loop interpolating shading
+  attributes for winning pixels only.
 - **Clip test, linearized:** the reference's per-pixel perspective-corrected
   clip test ``-w < x,y,z < w`` (triangular.py:80-91) is algebraically
   ``sign(S) * (bar @ (inv_w_i * cond_ij)) > 0`` with S = bar @ inv_w — six

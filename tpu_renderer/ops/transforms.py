@@ -22,7 +22,6 @@ Parity map (reference transformation.py):
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from tpu_renderer.constants import PROJECTION_TYPE, SUBSYSTEM, SYSTEM, X, Y
 
