@@ -60,12 +60,20 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W):
+def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
+                   edge_coeffs=None):
     """Tile/primitive intersection lists.
 
     bbox: (N, 4) int32 ceil'd clamped [x0, x1, y0, y1) windows; active: (N,).
     Returns (counts (T,) int32, idx (T, N) int32) with T = tiles, row-major
     (ty, tx). Capacity equals N: drop-free by construction.
+
+    ``edge_coeffs`` = (A, B, K, mask): optional (N, E)-shaped affine edge
+    functions (value at pixel (x, y) = A*x + B*y + K, inside requires >= 0 on
+    every unmasked edge). When given, a tile is kept only if every edge's
+    maximum over the tile rectangle is >= 0 — exact convex-coverage pruning
+    (the maximum of an affine function over a rectangle sits at a corner and
+    separates per axis).
     """
     n = bbox.shape[0]
     n_ty = _cdiv(height, tile_h)
@@ -79,12 +87,54 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W):
     ov_y = ((b2[None, :] < (ty[:, None] + 1) * tile_h) &
             (b3[None, :] > ty[:, None] * tile_h))            # (T_y, N)
     overlap = (ov_y[:, None, :] & ov_x[None, :, :] &
-               active[None, None, :]).reshape(n_ty * n_tx, n)
+               active[None, None, :])
+    if edge_coeffs is not None:
+        A, B, K, mask = edge_coeffs
+        tx0 = (tx * tile_w).astype(jnp.float32)
+        ty0 = (ty * tile_h).astype(jnp.float32)
+        x_part = tx0[:, None, None] * A + tile_w * jnp.maximum(A, 0)
+        y_part = ty0[:, None, None] * B + tile_h * jnp.maximum(B, 0)
+        cm = y_part[:, None] + x_part[None, :] + K[None, None]
+        cm = jnp.where(mask[None, None], cm, jnp.inf)
+        # Coefficients are unit-normalized (signed pixel distance): an
+        # eighth-pixel slack absorbs any fp disagreement with the kernel's
+        # barycentric coverage test.
+        overlap &= cm.min(axis=-1) >= -0.125
+    overlap = overlap.reshape(n_ty * n_tx, n)
     counts = overlap.sum(axis=1, dtype=jnp.int32)
     # Stable argsort on ~overlap compacts overlapping face ids (in face order)
     # to each row's prefix — cheaper than scatter-based nonzero on TPU.
     idx = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
     return counts, idx
+
+
+def _face_edge_coeffs(faces_padded):
+    """Affine edge functions of each triangle, inside = all >= 0.
+
+    The barycentric coverage test ``u, v, w >= 0`` is equivalent to the three
+    edge functions with consistent orientation; build them directly from the
+    screen coordinates (sign fixed by the doubled signed area).
+    """
+    sx = faces_padded["sx"]
+    sy = faces_padded["sy"]
+    # Doubled signed area: cross(b - a, c - a).
+    area = ((sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) -
+            (sy[:, 1] - sy[:, 0]) * (sx[:, 2] - sx[:, 0]))
+    s = jnp.sign(area)[:, None]
+    ax = sx
+    ay = sy
+    bx = jnp.roll(sx, -1, axis=1)
+    by = jnp.roll(sy, -1, axis=1)
+    # Edge (a -> b): E(p) = cross(b - a, p - a); the opposite vertex (and the
+    # interior) gets sign(area), so scaling by it makes inside = all E >= 0.
+    A = -(by - ay) * s
+    B = (bx - ax) * s
+    K = -(ax * A + ay * B)
+    # Normalize to signed pixel distance so the pruning slack is in pixels.
+    inv_len = 1.0 / jnp.maximum(jnp.sqrt(A * A + B * B), 1e-30)
+    A, B, K = A * inv_len, B * inv_len, K * inv_len
+    mask = jnp.broadcast_to((area != 0)[:, None], A.shape)
+    return A, B, K, mask
 
 
 def pack_faces(faces, with_debug):
@@ -181,9 +231,12 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
     # Lane-align the primitive tables and per-tile index lists.
     fdata = _pad_rows_to(fdata, 128)
     idata = _pad_rows_to(idata, 128)
+    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], 128),
+                                "sy": _pad_rows_to(faces["sy"], 128)})
     counts, idx = bin_primitives(
         _pad_rows_to(faces["bbox"], 128),
-        _pad_rows_to(faces["valid"], 128, fill=False), height, width)
+        _pad_rows_to(faces["valid"], 128, fill=False), height, width,
+        edge_coeffs=coeffs)
     g = fdata.shape[0]
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
@@ -538,9 +591,12 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
     fdata = _pad_rows_to(fdata, 128)
     idata = _pad_rows_to(idata, 128)
+    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], 128),
+                                "sy": _pad_rows_to(faces["sy"], 128)})
     counts, idx = bin_primitives(
         _pad_rows_to(faces["bbox"], 128),
-        _pad_rows_to(faces["valid"], 128, fill=False), height, width)
+        _pad_rows_to(faces["valid"], 128, fill=False), height, width,
+        edge_coeffs=coeffs)
     g = fdata.shape[0]
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
