@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import tpu_renderer as tr
-from tests.test_golden import CAM_KW, LIGHT_KW, RES, compare
+from tests.test_golden import CAM_KW, DEBUG_CAM_KW, LIGHT_KW, RES, compare
 
 OBJ = "/root/reference/obj"
 SKYBOX = {side: os.path.join(OBJ, "skybox", f"{side}.jpg")
@@ -135,3 +135,36 @@ def test_golden_chained_transforms_multimodel(reference):
     ref_scene.add_model(rd)
     ref_scene.add_model(rc)
     compare(scene.render(), ref_scene.render(), "chained_multimodel")
+
+
+@pytest.mark.parametrize("system_name", ["LH", "RH"])
+def test_golden_directx_subsystem(reference, system_name):
+    """DirectX projection family x handedness (transformation.py:346-352)."""
+    system = getattr(tr.SYSTEM, system_name)
+    ref_system = getattr(reference.transformation.SYSTEM, system_name)
+    cam_kw = dict(CAM_KW)
+    # A debug camera identical to the main one puts the frustum overlay
+    # exactly on the clip planes — f32-vs-f64 luck decides each dash. Use the
+    # distinct debug camera for a deterministic overlay.
+    dbg_kw = dict(DEBUG_CAM_KW)
+    model = tr.Model.load_model(os.path.join(OBJ, "diablo3_pose",
+                                             "diablo3_pose.obj"))
+    scene = tr.Scene(tr.Camera(**cam_kw),
+                     tr.Light(light_type=tr.Lightning.DIRECTIONAL_LIGHTNING,
+                              **LIGHT_KW),
+                     shadows=True, debug_camera=tr.Camera(**dbg_kw),
+                     resolution=RES, system=system,
+                     subsystem=tr.SUBSYSTEM.DIRECTX)
+    scene.add_model(model)
+
+    ref_model = reference.core.Model.load_model(
+        os.path.join(OBJ, "diablo3_pose", "diablo3_pose.obj"))
+    ref_scene = reference.core.Scene(
+        reference.core.Camera(**cam_kw),
+        reference.core.Light(
+            light_type=reference.Lightning.DIRECTIONAL_LIGHTNING, **LIGHT_KW),
+        shadows=True, debug_camera=reference.core.Camera(**dbg_kw),
+        resolution=RES, system=ref_system,
+        subsystem=reference.transformation.SUBSYSTEM.DIRECTX)
+    ref_scene.add_model(ref_model)
+    compare(scene.render(), ref_scene.render(), f"directx_{system_name}")
