@@ -71,3 +71,17 @@ def test_smoothstep_and_mix_match_reference(reference):
     np.testing.assert_allclose(
         np.asarray(sh.mix(1.0, 3.0, 0.25)),
         reference.triangular.mix(1.0, 3.0, 0.25))
+
+
+def test_supersampling_smooths_edges():
+    base = _scene("general")
+    frame1 = base.render()
+    ss = _scene("general")
+    ss.supersample = 2
+    frame2 = ss.render()
+    assert frame2.shape == frame1.shape
+    # SSAA produces intermediate values on silhouette edges: strictly more
+    # unique colors than the aliased render.
+    u1 = len(np.unique(frame1.reshape(-1, 3), axis=0))
+    u2 = len(np.unique(frame2.reshape(-1, 3), axis=0))
+    assert u2 > u1

@@ -102,7 +102,8 @@ class Scene:
                  debug_camera: Optional[Camera] = None,
                  resolution=(1500, 1500), system=SYSTEM.RH,
                  subsystem=SUBSYSTEM.DIRECTX, skymap=None,
-                 shader: str = SHADER_GENERAL, backend: Optional[str] = None):
+                 shader: str = SHADER_GENERAL, backend: Optional[str] = None,
+                 supersample: int = 1):
         self.system = system
         self.subsystem = subsystem
         self.resolution = tuple(int(r) for r in resolution)
@@ -116,6 +117,9 @@ class Scene:
         #: Draw the debug camera's frustum wireframe like the reference
         #: (core.py:638) whenever a debug camera is present.
         self.debug_overlay = True
+        #: Supersampling anti-aliasing factor (beyond the reference): render
+        #: at N x the resolution, box-filter down before quantization.
+        self.supersample = int(supersample)
         self.camera = camera if camera is not None else Camera(
             position=(0, 0, 1), center=(0, 0, 0))
         self.light = light if light is not None else Light(position=(1, 1, 1))
@@ -293,7 +297,7 @@ class Scene:
 
     # -------------------------------------------------------------- render
 
-    def _prepare(self):
+    def _prepare(self, resolution=None):
         """Pack the scene into (static SceneConfig, dynamic input pytree)."""
         import jax
 
@@ -306,7 +310,7 @@ class Scene:
         cfg = SceneConfig(
             backend=backend,
             pallas_interpret=backend == "pallas" and not on_tpu,
-            resolution=self.resolution, system=self.system,
+            resolution=resolution or self.resolution, system=self.system,
             subsystem=self.subsystem, shadows=self.shadows,
             shader=self.shader, background=background,
             cam_projection_type=self.camera.projection_type,
@@ -333,6 +337,18 @@ class Scene:
 
     def render(self) -> np.ndarray:
         """Render one frame; returns (H, W, 3) uint8, same as core.py:587-640."""
+        ss = self.supersample
+        if ss > 1 and self.shader not in ("wireframe", "points") \
+                and self.debug_camera is None:
+            h, w = self.resolution
+            cfg, dyn = self._prepare(resolution=(h * ss, w * ss))
+            from tpu_renderer.ops.pipeline import render_ssaa_jit
+
+            out, zbuf, tid, stencil = render_ssaa_jit(cfg, dyn, ss)
+            self.last_zbuf, self.last_tid, self.last_stencil = \
+                zbuf, tid, stencil
+            return np.asarray(out)
+
         cfg, dyn = self._prepare()
         if self.shader in ("wireframe", "points"):
             return self._render_debug_shader(cfg, dyn)

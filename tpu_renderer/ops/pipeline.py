@@ -523,6 +523,17 @@ def render_core_jit(cfg, dyn):
     return render_core(cfg, dyn)
 
 
+@partial(jax.jit, static_argnames=("cfg", "ss"))
+def render_ssaa_jit(cfg, dyn, ss):
+    """Supersampled render: cfg.resolution is already ss-scaled; box-filter
+    the float frame down by ss before flip/gamma/quantize."""
+    frame, zbuf, tid, stencil = render_core(cfg, dyn)
+    hh, ww = frame.shape[0], frame.shape[1]
+    frame = frame.reshape(hh // ss, ss, ww // ss, ss, 3).mean(axis=(1, 3))
+    out = (jnp.clip(frame[::-1] ** 0.8, 0.0, 1.0) * 255).astype(jnp.uint8)
+    return out, zbuf, tid, stencil
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def face_statistics(cfg: SceneConfig, dyn, tid):
     """Per-model face counters, the batched equivalent of the reference's
