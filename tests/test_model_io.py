@@ -264,3 +264,23 @@ def test_nan_debug_scope():
         with pytest.raises(FloatingPointError):
             jnp.log(jnp.zeros(3) - 1.0).block_until_ready()
     assert not jax.config.jax_debug_nans
+
+
+def test_texture_register_after_render_takes_effect():
+    """Registering a texture after the first render must not be silently
+    ignored by the packet cache."""
+    import tpu_renderer as tr
+    from tpu_renderer.models.gizmos import make_floor
+
+    floor = make_floor(2.0, y=-0.5)
+    scene = tr.Scene(tr.Camera((0, 2, 2.5), center=(0, -0.5, 0), fovy=70,
+                               near=0.01, far=50),
+                     tr.Light((2, 4, 1), ambient_strength=0.3),
+                     resolution=(48, 64), system=tr.SYSTEM.RH,
+                     subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(floor)
+    before = scene.render()
+    floor.textures.register("diffuse", "/root/reference/obj/grid.tga",
+                            normalize=False)
+    after = scene.render()
+    assert (before != after).any()

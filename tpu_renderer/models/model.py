@@ -77,6 +77,8 @@ class TextureMaps:
                 np.asarray(texture, dtype=dt))
         if self.texture_map[attr_name] == "norm":
             self.model.normal_map_is_tangent = tangent
+        # Invalidate cached device packets (models/scene.py _pack_model).
+        self.model.bump_version()
 
     load_texture = staticmethod(load_texture)
 
@@ -148,6 +150,11 @@ class Model:
         self.textures = TextureMaps(self)
         self.normal_map_is_tangent = False
         self._edge_table: Optional[EdgeTable] = None
+        #: Incremented on asset mutations (texture registration) so scenes
+        #: can invalidate their cached device packets. Direct attribute
+        #: mutation (e.g. ``model.normals = ...``) should call
+        #: :meth:`bump_version` — or simply re-add the model.
+        self._version = 0
 
     # ------------------------------------------------------------------ IO
 
@@ -270,6 +277,10 @@ class Model:
         return mtl_lib
 
     # ---------------------------------------------------------- transforms
+
+    def bump_version(self):
+        """Mark this model's packed device data stale (see Scene._pack_model)."""
+        self._version += 1
 
     def __matmul__(self, other) -> "Model":
         """Apply a 4x4 row-vector transform; returns a NEW Model (pure).

@@ -173,7 +173,8 @@ class Scene:
     def _pack_model(self, model: Model) -> dict:
         key = id(model)
         cached = self._packets.get(key)
-        if cached is not None and cached["_verts_src"] is model.vertices:
+        if (cached is not None and cached["_verts_src"] is model.vertices
+                and cached["_version"] == model._version):
             return cached
 
         F = model.num_faces
@@ -204,6 +205,7 @@ class Scene:
 
         packet = {
             "_verts_src": model.vertices,
+            "_version": model._version,
             "verts": jnp.asarray(model.vertices, jnp.float32),
             "vid": jnp.asarray(vid),
             "pad_valid": jnp.asarray(pad_valid),
