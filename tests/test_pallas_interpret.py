@@ -58,3 +58,19 @@ def test_pallas_interpret_gouraud(scene):
     pallas_out = render_frame_jit(cfg_p, dyn)
     fx, fp = np.asarray(xla_out[0]), np.asarray(pallas_out[0])
     assert ((fx == fp).all(axis=-1)).mean() >= 0.999
+
+
+def test_pallas_chunked_faces_matches_xla(scene, monkeypatch):
+    """Force multi-chunk face streaming (FACE_CHUNK shrunk) — the large-mesh
+    VMEM path — and compare against the XLA backend."""
+    from tpu_renderer.ops import raster_pallas as rp
+
+    monkeypatch.setattr(rp, "FACE_CHUNK", 128)
+    cfg, dyn = scene._prepare()
+    xla_out = render_frame_jit(cfg, dyn)
+    cfg_p = dataclasses.replace(cfg, backend="pallas", pallas_interpret=True)
+    pallas_out = render_frame_jit(cfg_p, dyn)
+    fx, fp = np.asarray(xla_out[0]), np.asarray(pallas_out[0])
+    stx, stp = np.asarray(xla_out[3]), np.asarray(pallas_out[3])
+    np.testing.assert_array_equal(stx, stp)
+    assert ((fx == fp).all(axis=-1)).mean() >= 0.999

@@ -222,29 +222,59 @@ def _pad_rows_to(a, mult, fill=0):
         [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
 
 
+#: Faces per kernel chunk: bounds VMEM (the face tables stream through the
+#: third grid dimension; outputs accumulate across chunk steps).
+FACE_CHUNK = 8192
+
+
+def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None):
+    """Per-chunk binning: counts (n_chunks, T), idx (n_chunks, T, chunk, 1)."""
+    g = bbox.shape[0]
+    n_chunks = g // chunk
+    counts, idx = [], []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        ec = None
+        if edge_coeffs is not None:
+            ec = tuple(a[sl] for a in edge_coeffs)
+        cnt, ix = bin_primitives(bbox[sl], valid[sl], height, width,
+                                 edge_coeffs=ec)
+        counts.append(cnt)
+        idx.append(ix)
+    return jnp.stack(counts), jnp.stack(idx)[..., None]
+
+
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
                                    "interpret"))
 def visibility_pallas(faces, height, width, sign, with_debug=False,
                       interpret=False):
-    """Tile-binned visibility resolve. Returns (zbuf sign-space, tid)."""
+    """Tile-binned visibility resolve. Returns (zbuf sign-space, tid).
+
+    Face tables stream through the kernel in FACE_CHUNK slices (grid dim 2) so
+    arbitrarily large meshes never exceed VMEM; the zbuf/tid output blocks are
+    revisited across chunk steps (initialized at chunk 0) — the incremental
+    claim is associative across chunks in face order.
+    """
     fdata, idata = pack_faces(faces, with_debug)
-    # Lane-align the primitive tables and per-tile index lists.
-    fdata = _pad_rows_to(fdata, 128)
-    idata = _pad_rows_to(idata, 128)
-    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], 128),
-                                "sy": _pad_rows_to(faces["sy"], 128)})
-    counts, idx = bin_primitives(
-        _pad_rows_to(faces["bbox"], 128),
-        _pad_rows_to(faces["valid"], 128, fill=False), height, width,
-        edge_coeffs=coeffs)
-    g = fdata.shape[0]
+    g0 = fdata.shape[0]
+    chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
+    fdata = _pad_rows_to(fdata, chunk)
+    idata = _pad_rows_to(idata, chunk)
+    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], chunk),
+                                "sy": _pad_rows_to(faces["sy"], chunk)})
+    counts, idx = _chunked_bins(
+        _pad_rows_to(faces["bbox"], chunk),
+        _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
+        chunk, edge_coeffs=coeffs)
+    n_chunks = fdata.shape[0] // chunk
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
 
     def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, zb_ref, tid_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        count = counts_ref[ty * n_tx + tx]
+        c = pl.program_id(2)
+        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         y0 = (ty * TILE_H).astype(jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(
@@ -252,17 +282,10 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
 
-        zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
-        tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-
-        def frag(k, *, clip):
-            f = idx_ref[0, k, 0]
-            flags = idata_ref[f, 4]
-            cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
-                                    with_clip=clip)
-            cov &= _window_mask(idata_ref, f, rows, cols)
-            cov &= (flags & 1) > 0                       # valid
-            return f, flags, cov, z * sign
+        @pl.when(c == 0)
+        def _():
+            zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+            tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
         def body(k, _):
             # Single incremental pass: a claim against the *running* z-buffer
@@ -271,7 +294,13 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
             # triangular.py:99-118): any face claiming before the minimum
             # arrives is overwritten by the face that achieves it, and every
             # claim after that equals a final-buffer test.
-            f, flags, cov, zs = frag(k, clip=True)
+            f = idx_ref[0, 0, k, 0]
+            flags = idata_ref[f, 4]
+            cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
+                                    with_clip=True)
+            cov &= _window_mask(idata_ref, f, rows, cols)
+            cov &= (flags & 1) > 0
+            zs = z * sign
             upd = cov & (zb_ref[:] >= zs)
             tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
             zb_ref[:] = jnp.where(upd & ((flags & 4) > 0), zs, zb_ref[:])
@@ -281,19 +310,21 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_ty, n_tx),
+        grid=(n_ty, n_tx, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, g, 1), lambda ty, tx, c: (ty * n_tx + tx, 0, 0),
+            pl.BlockSpec((1, 1, chunk, 1),
+                         lambda ty, tx, c, s: (c, ty * n_tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, fdata.shape[1]), lambda ty, tx, c: (0, 0),
+            pl.BlockSpec((chunk, fdata.shape[1]),
+                         lambda ty, tx, c, s: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, _I_COLS), lambda ty, tx, c: (0, 0),
+            pl.BlockSpec((chunk, _I_COLS), lambda ty, tx, c, s: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c: (ty, tx),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c: (ty, tx),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -305,7 +336,7 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
             jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, idx[:, :, None], fdata, idata)
+    )(counts.reshape(-1), idx, fdata, idata)
     return zb[:height, :width], tid[:height, :width]
 
 
@@ -419,12 +450,22 @@ def pack_quads(screen, counts, ok, height, width, near, far):
 def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                    interpret=False):
     """Tile-binned signed stencil accumulation against the final z-buffer."""
-    qdata = _pad_rows_to(qdata, 128)
-    qi = _pad_rows_to(qi, 128)
+    e0 = qdata.shape[0]
+    chunk = min(FACE_CHUNK, -(-e0 // 128) * 128)
+    qdata = _pad_rows_to(qdata, chunk)
+    qi = _pad_rows_to(qi, chunk)
     e = qdata.shape[0]
+    n_chunks = e // chunk
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
-    counts, idx = _bin_quads(qdata, qi, height, width)
+    counts, idx = [], []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        cnt, ix = _bin_quads(qdata[sl], qi[sl], height, width)
+        counts.append(cnt)
+        idx.append(ix)
+    counts = jnp.stack(counts)
+    idx = jnp.stack(idx)[..., None]
     zb_pad = jnp.full((n_ty * TILE_H, n_tx * TILE_W), jnp.inf, jnp.float32)
     zb_pad = zb_pad.at[:height, :width].set(zbuf * sign)
     zscal = jnp.stack([2.0 * near * far, far + near, far - near]
@@ -434,7 +475,8 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                st_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        count = counts_ref[ty * n_tx + tx]
+        c = pl.program_id(2)
+        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         nf2 = zscal_ref[0]
         fpn = zscal_ref[1]
         fmn = zscal_ref[2]
@@ -445,10 +487,12 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
 
-        st_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+        @pl.when(c == 0)
+        def _():
+            st_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
         def body(k, _):
-            q = idx_ref[0, k, 0]
+            q = idx_ref[0, 0, k, 0]
             nverts = qi_ref[q, 4]
             front = qi_ref[q, 6] > 0
 
@@ -493,19 +537,20 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_ty, n_tx),
+        grid=(n_ty, n_tx, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, e, 1), lambda ty, tx, c, s: (ty * n_tx + tx, 0, 0),
+            pl.BlockSpec((1, 1, chunk, 1),
+                         lambda ty, tx, c, cn, s: (c, ty * n_tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, _Q_COLS), lambda ty, tx, c, s: (0, 0),
+            pl.BlockSpec((chunk, _Q_COLS), lambda ty, tx, c, cn, s: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, _QI_COLS), lambda ty, tx, c, s: (0, 0),
+            pl.BlockSpec((chunk, _QI_COLS), lambda ty, tx, c, cn, s: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -516,7 +561,7 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, zscal, idx[:, :, None], qdata, qi, zb_pad)
+    )(counts.reshape(-1), zscal, idx, qdata, qi, zb_pad)
     return stencil[:height, :width]
 
 
@@ -576,7 +621,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
-    TPU (~8 ms per gather at 1 MPx); instead a third per-tile loop re-visits
+    TPU (~8 ms per gather at 1 MPx); instead a second per-tile phase re-visits
     each binned face, and where ``tid == gid`` writes the interpolated
     channels — every per-face scalar is already in VMEM. Tangent/bitangent
     solve the reference's per-pixel TBN system (core.py:191-224) in closed
@@ -584,20 +629,27 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     c1 = n x e1, T = (c0*du0 + c1*du1)/det (the du/dv third component is 0, so
     the constant c2 column drops out; normalization of n cancels).
 
+    Face tables stream through grid dim 2 in FACE_CHUNK slices, visited twice:
+    phase 0 (chunks 0..n-1) resolves z + winner ids incrementally; phase 1
+    (chunks n..2n-1) interpolates the G-buffer against the final ids — output
+    blocks persist across the chunk steps of a tile.
+
     Returns (zbuf sign-space, tid, gbuffer (GB_CHANNELS, H, W)).
     """
     fdata0, idata = pack_faces(faces, with_debug)
     base_cols = fdata0.shape[1]
     fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
-    fdata = _pad_rows_to(fdata, 128)
-    idata = _pad_rows_to(idata, 128)
-    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], 128),
-                                "sy": _pad_rows_to(faces["sy"], 128)})
-    counts, idx = bin_primitives(
-        _pad_rows_to(faces["bbox"], 128),
-        _pad_rows_to(faces["valid"], 128, fill=False), height, width,
-        edge_coeffs=coeffs)
-    g = fdata.shape[0]
+    g0 = fdata.shape[0]
+    chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
+    fdata = _pad_rows_to(fdata, chunk)
+    idata = _pad_rows_to(idata, chunk)
+    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], chunk),
+                                "sy": _pad_rows_to(faces["sy"], chunk)})
+    counts, idx = _chunked_bins(
+        _pad_rows_to(faces["bbox"], chunk),
+        _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
+        chunk, edge_coeffs=coeffs)
+    n_chunks = fdata.shape[0] // chunk
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     X = base_cols                                  # extra-column base offset
@@ -606,7 +658,10 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                zb_ref, tid_ref, gb_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        count = counts_ref[ty * n_tx + tx]
+        step = pl.program_id(2)
+        phase = step >= n_chunks
+        c = step - n_chunks * phase.astype(jnp.int32)
+        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         y0 = (ty * TILE_H).astype(jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(
@@ -614,131 +669,148 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
 
-        zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
-        tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-        gb_ref[:] = jnp.zeros((GB_CHANNELS, TILE_H, TILE_W), jnp.float32)
+        @pl.when(step == 0)
+        def _():
+            zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+            tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+            gb_ref[:] = jnp.zeros((GB_CHANNELS, TILE_H, TILE_W), jnp.float32)
 
-        def frag(k, *, clip):
-            f = idx_ref[0, k, 0]
-            flags = idata_ref[f, 4]
-            cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
-                                    with_clip=clip)
-            cov &= _window_mask(idata_ref, f, rows, cols)
-            cov &= (flags & 1) > 0
-            return f, flags, cov, z * sign
+        @pl.when(jnp.logical_not(phase))
+        def _():
+            def body(k, _):
+                # Single incremental z+id pass — see visibility_pallas.
+                f = idx_ref[0, 0, k, 0]
+                flags = idata_ref[f, 4]
+                cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
+                                        with_clip=True)
+                cov &= _window_mask(idata_ref, f, rows, cols)
+                cov &= (flags & 1) > 0
+                zs = z * sign
+                upd = cov & (zb_ref[:] >= zs)
+                tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
+                zb_ref[:] = jnp.where(upd & ((flags & 4) > 0), zs, zb_ref[:])
+                return 0
 
-        def body(k, _):
-            # Single incremental z+id pass — see visibility_pallas.
-            f, flags, cov, zs = frag(k, clip=True)
-            upd = cov & (zb_ref[:] >= zs)
-            tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
-            zb_ref[:] = jnp.where(upd & ((flags & 4) > 0), zs, zb_ref[:])
-            return 0
+            jax.lax.fori_loop(0, count, body, 0)
 
-        jax.lax.fori_loop(0, count, body, 0)
+        @pl.when(phase)
+        def _():
+            def gbody(k, _):
+                f = idx_ref[0, 0, k, 0]
+                gid = idata_ref[f, 5]
+                win = tid_ref[:] == gid
 
-        def gbody(k, _):
-            f = idx_ref[0, k, 0]
-            gid = idata_ref[f, 5]
-            win = tid_ref[:] == gid
+                @pl.when(jnp.any(win))
+                def _():
+                    # Screen barycentric (same math as _face_tile_cov).
+                    sx0, sx1, sx2 = (fdata_ref[f, 0], fdata_ref[f, 1],
+                                     fdata_ref[f, 2])
+                    sy0, sy1, sy2 = (fdata_ref[f, 3], fdata_ref[f, 4],
+                                     fdata_ref[f, 5])
+                    v0x, v0y = sx1 - sx0, sy1 - sy0
+                    v1x, v1y = sx2 - sx0, sy2 - sy0
+                    d00 = v0x * v0x + v0y * v0y
+                    d01 = v0x * v1x + v0y * v1y
+                    d11 = v1x * v1x + v1y * v1y
+                    inv_denom = 1.0 / (d00 * d11 - d01 * d01)
+                    v2x = cols - sx0
+                    v2y = rows - sy0
+                    d20 = v2x * v0x + v2y * v0y
+                    d21 = v2x * v1x + v2y * v1y
+                    v = (d11 * d20 - d01 * d21) * inv_denom
+                    w = (d00 * d21 - d01 * d20) * inv_denom
+                    u = 1.0 - v - w
+                    # Perspective-corrected weights (core.py:155-160).
+                    iw0, iw1, iw2 = (fdata_ref[f, 9], fdata_ref[f, 10],
+                                     fdata_ref[f, 11])
+                    su, sv, sw = u * iw0, v * iw1, w * iw2
+                    inv_s = 1.0 / (su + sv + sw)
+                    pb0, pb1, pb2 = su * inv_s, sv * inv_s, sw * inv_s
 
-            @pl.when(jnp.any(win))
-            def _():
-                # Screen barycentric (same math as _face_tile_cov).
-                sx0, sx1, sx2 = fdata_ref[f, 0], fdata_ref[f, 1], fdata_ref[f, 2]
-                sy0, sy1, sy2 = fdata_ref[f, 3], fdata_ref[f, 4], fdata_ref[f, 5]
-                v0x, v0y = sx1 - sx0, sy1 - sy0
-                v1x, v1y = sx2 - sx0, sy2 - sy0
-                d00 = v0x * v0x + v0y * v0y
-                d01 = v0x * v1x + v0y * v1y
-                d11 = v1x * v1x + v1y * v1y
-                inv_denom = 1.0 / (d00 * d11 - d01 * d01)
-                v2x = cols - sx0
-                v2y = rows - sy0
-                d20 = v2x * v0x + v2y * v0y
-                d21 = v2x * v1x + v2y * v1y
-                v = (d11 * d20 - d01 * d21) * inv_denom
-                w = (d00 * d21 - d01 * d20) * inv_denom
-                u = 1.0 - v - w
-                # Perspective-corrected weights (core.py:155-160).
-                iw0, iw1, iw2 = (fdata_ref[f, 9], fdata_ref[f, 10],
-                                 fdata_ref[f, 11])
-                su, sv, sw = u * iw0, v * iw1, w * iw2
-                inv_s = 1.0 / (su + sv + sw)
-                pb0, pb1, pb2 = su * inv_s, sv * inv_s, sw * inv_s
+                    def interp(c0, c1, c2):
+                        return pb0 * c0 + pb1 * c1 + pb2 * c2
 
-                def interp(c0, c1, c2):
-                    return pb0 * c0 + pb1 * c1 + pb2 * c2
+                    def put(ch, val):
+                        gb_ref[ch, :, :] = jnp.where(win, val,
+                                                     gb_ref[ch, :, :])
 
-                def put(ch, val):
-                    gb_ref[ch, :, :] = jnp.where(win, val, gb_ref[ch, :, :])
+                    # World position.
+                    wx = [fdata_ref[f, X + i] for i in range(9)]
+                    for ci in range(3):
+                        put(GB_WORLD + ci,
+                            interp(wx[ci], wx[3 + ci], wx[6 + ci]))
+                    # UV.
+                    u0, u1, u2 = (fdata_ref[f, X + 9], fdata_ref[f, X + 10],
+                                  fdata_ref[f, X + 11])
+                    vv0, vv1, vv2 = (fdata_ref[f, X + 12],
+                                     fdata_ref[f, X + 13],
+                                     fdata_ref[f, X + 14])
+                    put(GB_IU, interp(u0, u1, u2))
+                    put(GB_IV, interp(vv0, vv1, vv2))
+                    # Vertex normal.
+                    nv = [fdata_ref[f, X + 15 + i] for i in range(9)]
+                    n = [interp(nv[0], nv[3], nv[6]),
+                         interp(nv[1], nv[4], nv[7]),
+                         interp(nv[2], nv[5], nv[8])]
+                    for ci in range(3):
+                        put(GB_N + ci, n[ci])
+                    # Tangent/bitangent via adjugate (du2 = dv2 = 0).
+                    e1 = [wx[3] - wx[0], wx[4] - wx[1], wx[5] - wx[2]]
+                    e2 = [wx[6] - wx[0], wx[7] - wx[1], wx[8] - wx[2]]
+                    c0 = [e2[1] * n[2] - e2[2] * n[1],
+                          e2[2] * n[0] - e2[0] * n[2],
+                          e2[0] * n[1] - e2[1] * n[0]]
+                    c1 = [n[1] * e1[2] - n[2] * e1[1],
+                          n[2] * e1[0] - n[0] * e1[2],
+                          n[0] * e1[1] - n[1] * e1[0]]
+                    det = e1[0] * c0[0] + e1[1] * c0[1] + e1[2] * c0[2]
+                    inv_det = 1.0 / det
+                    du0, du1 = u1 - u0, u2 - u0
+                    dv0, dv1 = vv1 - vv0, vv2 - vv0
+                    for ci in range(3):
+                        put(GB_TAN + ci,
+                            (c0[ci] * du0 + c1[ci] * du1) * inv_det)
+                        put(GB_BIT + ci,
+                            (c0[ci] * dv0 + c1[ci] * dv1) * inv_det)
+                    # Constant material channels.
+                    for ci in range(3):
+                        put(GB_KD + ci, fdata_ref[f, X + 24 + ci])
+                        put(GB_KS + ci, fdata_ref[f, X + 27 + ci])
+                    put(GB_NS, fdata_ref[f, X + 30])
+                    for off in range(11):          # slots/shapes/flags/model
+                        put(GB_KD_SLOT + off, fdata_ref[f, X + 31 + off])
+                return 0
 
-                # World position.
-                wx = [fdata_ref[f, X + i] for i in range(9)]
-                frag_w = [interp(wx[0], wx[3], wx[6]),
-                          interp(wx[1], wx[4], wx[7]),
-                          interp(wx[2], wx[5], wx[8])]
-                for c in range(3):
-                    put(GB_WORLD + c, frag_w[c])
-                # UV.
-                u0, u1, u2 = (fdata_ref[f, X + 9], fdata_ref[f, X + 10],
-                              fdata_ref[f, X + 11])
-                vv0, vv1, vv2 = (fdata_ref[f, X + 12], fdata_ref[f, X + 13],
-                                 fdata_ref[f, X + 14])
-                put(GB_IU, interp(u0, u1, u2))
-                put(GB_IV, interp(vv0, vv1, vv2))
-                # Vertex normal.
-                nv = [fdata_ref[f, X + 15 + i] for i in range(9)]
-                n = [interp(nv[0], nv[3], nv[6]),
-                     interp(nv[1], nv[4], nv[7]),
-                     interp(nv[2], nv[5], nv[8])]
-                for c in range(3):
-                    put(GB_N + c, n[c])
-                # Tangent/bitangent via adjugate (du2 = dv2 = 0).
-                e1 = [wx[3] - wx[0], wx[4] - wx[1], wx[5] - wx[2]]
-                e2 = [wx[6] - wx[0], wx[7] - wx[1], wx[8] - wx[2]]
-                c0 = [e2[1] * n[2] - e2[2] * n[1],
-                      e2[2] * n[0] - e2[0] * n[2],
-                      e2[0] * n[1] - e2[1] * n[0]]
-                c1 = [n[1] * e1[2] - n[2] * e1[1],
-                      n[2] * e1[0] - n[0] * e1[2],
-                      n[0] * e1[1] - n[1] * e1[0]]
-                det = e1[0] * c0[0] + e1[1] * c0[1] + e1[2] * c0[2]
-                inv_det = 1.0 / det
-                du0, du1 = u1 - u0, u2 - u0
-                dv0, dv1 = vv1 - vv0, vv2 - vv0
-                for c in range(3):
-                    put(GB_TAN + c, (c0[c] * du0 + c1[c] * du1) * inv_det)
-                    put(GB_BIT + c, (c0[c] * dv0 + c1[c] * dv1) * inv_det)
-                # Constant material channels.
-                for c in range(3):
-                    put(GB_KD + c, fdata_ref[f, X + 24 + c])
-                    put(GB_KS + c, fdata_ref[f, X + 27 + c])
-                put(GB_NS, fdata_ref[f, X + 30])
-                for off in range(11):              # slots/shapes/flags/model
-                    put(GB_KD_SLOT + off, fdata_ref[f, X + 31 + off])
-            return 0
-
-        jax.lax.fori_loop(0, count, gbody, 0)
+            jax.lax.fori_loop(0, count, gbody, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_ty, n_tx),
+        grid=(n_ty, n_tx, 2 * n_chunks),
         in_specs=[
-            pl.BlockSpec((1, g, 1), lambda ty, tx, c: (ty * n_tx + tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, fdata.shape[1]), lambda ty, tx, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, _I_COLS), lambda ty, tx, c: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, chunk, 1),
+                lambda ty, tx, st, s: (
+                    st - n_chunks * (st >= n_chunks).astype(jnp.int32),
+                    ty * n_tx + tx, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (chunk, fdata.shape[1]),
+                lambda ty, tx, st, s: (
+                    st - n_chunks * (st >= n_chunks).astype(jnp.int32), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (chunk, _I_COLS),
+                lambda ty, tx, st, s: (
+                    st - n_chunks * (st >= n_chunks).astype(jnp.int32), 0),
+                memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c: (ty, tx),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c: (ty, tx),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GB_CHANNELS, TILE_H, TILE_W),
-                         lambda ty, tx, c: (0, ty, tx),
+                         lambda ty, tx, st, s: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -752,6 +824,6 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 (GB_CHANNELS, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, idx[:, :, None], fdata, idata)
+    )(counts.reshape(-1), idx, fdata, idata)
     return (zb[:height, :width], tid[:height, :width],
             gb[:, :height, :width])
