@@ -96,6 +96,103 @@ def _texture_stack(model: Model, attr: str):
             np.array([scale, offset], np.float32))
 
 
+#: Texel-window geometry for the in-kernel texture sampler
+#: (ops/raster_pallas.sample_textures_pallas): (rows, cols) per window.
+_WIN_R = 16
+_WIN_C = 128
+
+
+def _window_metadata(uv, shapes, slot_list):
+    """Per-face (16, 128)-texel window grids covering each face's UV bbox.
+
+    ``uv``: (F, 3, 2) per-face vertex uv; ``shapes``: (F, 2) float (TH, TW) of
+    the face's texture; ``slot_list``: per sampled kind, (F,) material slot
+    (−1 = kind absent on this face).
+
+    The texel coordinates replicate the reference's nearest-sample indexing
+    (core.py:138-143): col = clip(u, max=1)·(TW−1), row = (1−clip(v, max=1))·
+    (TH−1), truncated; interpolated values on covered pixels are convex
+    combinations of the vertex values, so the vertex extremes (±1 texel fp
+    margin) bound every pixel's texel. Windows are anchored on the unwrapped
+    bbox; negative-uv wrap (quirk 6) resolves at content-build time plus a
+    straddle correction in the kernel.
+
+    Returns dict of per-face int32 arrays (wbase, nwr, nwc, rbase, cbase,
+    kmask) and per-window arrays (w_face, w_r0, w_c0), or None if no face
+    samples anything.
+    """
+    kmask = np.zeros(len(uv), np.int32)
+    for k, slot in enumerate(slot_list):
+        kmask |= (np.asarray(slot) >= 0).astype(np.int32) << k
+    active = kmask > 0
+    if not active.any():
+        return None
+
+    th = np.asarray(shapes[:, 0], np.float64)
+    tw = np.asarray(shapes[:, 1], np.float64)
+    colf = np.minimum(uv[:, :, 0], 1.0) * (tw[:, None] - 1)
+    rowf = (1.0 - np.minimum(uv[:, :, 1], 1.0)) * (th[:, None] - 1)
+    rbase = (np.floor(rowf.min(1)) - 1).astype(np.int64)
+    cbase = (np.floor(colf.min(1)) - 1).astype(np.int64)
+    rmax = (np.floor(rowf.max(1)) + 1).astype(np.int64)
+    cmax = (np.floor(colf.max(1)) + 1).astype(np.int64)
+    nwr = np.where(active, (rmax - rbase) // _WIN_R + 1, 0).astype(np.int32)
+    nwc = np.where(active, (cmax - cbase) // _WIN_C + 1, 0).astype(np.int32)
+
+    counts = (nwr * nwc).astype(np.int64)
+    wbase = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    total = int(counts.sum())
+    w_face = np.repeat(np.arange(len(uv), dtype=np.int32),
+                       counts.astype(np.int32))
+    # Window (wr, wc) within each face's grid, wr-major.
+    local = (np.arange(total, dtype=np.int64)
+             - wbase.astype(np.int64)[w_face])
+    wr = local // nwc[w_face]
+    wc = local - wr * nwc[w_face]
+    w_r0 = (rbase[w_face] + _WIN_R * wr).astype(np.int64)
+    w_c0 = (cbase[w_face] + _WIN_C * wc).astype(np.int64)
+    return {
+        "wbase": wbase, "nwr": nwr, "nwc": nwc,
+        "rbase": rbase.astype(np.int32), "cbase": cbase.astype(np.int32),
+        "kmask": kmask, "w_face": w_face, "w_r0": w_r0, "w_c0": w_c0,
+    }
+
+
+def _build_window_content(stacks_slots, w_face, w_r0, w_c0, shapes):
+    """Slice each window's texels out of the (device) texture stacks.
+
+    ``stacks_slots``: per kind, (stack (N, TH, TW) uint32, slot (F,) int32).
+    Content rows [16k, 16(k+1)) hold kind k; origins wrap modulo the face's
+    texture shape, with wrap-straddle handled by a (TH+16, TW+128) wrap-pad.
+    Returns (W, 16·K, 128) int32 on device.
+    """
+    import jax
+
+    th = jnp.asarray(shapes[w_face, 0], jnp.int32)
+    tw = jnp.asarray(shapes[w_face, 1], jnp.int32)
+    r0 = jnp.mod(jnp.asarray(w_r0, jnp.int32), th)
+    c0 = jnp.mod(jnp.asarray(w_c0, jnp.int32), tw)
+
+    padded = []
+    slots = []
+    for stack, slot in stacks_slots:
+        p = jnp.pad(jnp.asarray(stack).astype(jnp.int32),
+                    ((0, 0), (0, _WIN_R), (0, _WIN_C)), mode="wrap")
+        padded.append(p)
+        slots.append(jnp.clip(jnp.asarray(slot)[w_face], 0))
+
+    def one(args):
+        r, c, *ss = args
+        parts = [jax.lax.dynamic_slice(p, (s, r, c), (1, _WIN_R, _WIN_C))[0]
+                 for p, s in zip(padded, ss)]
+        return jnp.concatenate(parts, axis=0)
+
+    # Sequential scan: vmap would lower the slices to a (5x/element) XLA
+    # slice-gather; ~10k sequential dynamic_slices run once per scene.
+    out = jax.lax.map(one, (r0, c0, *slots))
+    return out.reshape(out.shape[0], _WIN_R * len(padded), _WIN_C)
+
+
 class Scene:
     def __init__(self, camera: Optional[Camera] = None,
                  light: Optional[Light] = None, shadows: bool = False,
@@ -233,8 +330,10 @@ class Scene:
         packet["inc_valid"] = jnp.asarray(inc_valid)
 
         flags = {}
+        st_by_kind = {}
         for kind, attr in (("kd", "map_Kd"), ("ks", "map_Ks"), ("norm", "norm")):
             st = _texture_stack(model, attr)
+            st_by_kind[kind] = st
             if st is None:
                 packet[f"{kind}_slot"] = jnp.full(Fp, -1, jnp.int32)
                 packet[f"{kind}_shape"] = jnp.ones((Fp, 2), jnp.float32)
@@ -253,12 +352,58 @@ class Scene:
         if "norm_tangent" not in packet:
             packet["norm_tangent"] = jnp.zeros(Fp, bool)
 
+        # ---- texel windows for the in-kernel sampler: group kinds sharing
+        # one per-face shape table (one texel-coordinate set per face).
+        win_kinds: tuple = ()
+        num_windows = 0
+        if model.uv is not None and F > 0:
+            present = [k for k in ("kd", "norm", "ks")
+                       if st_by_kind.get(k) is not None]
+            groups: list = []
+            for k in present:
+                shp = st_by_kind[k][2][mtl]
+                placed = False
+                for g in groups:
+                    if np.array_equal(st_by_kind[g[0]][2][mtl], shp):
+                        g.append(k)
+                        placed = True
+                        break
+                if not placed:
+                    groups.append([k])
+            group = max(groups, key=len) if groups else []
+            if group:
+                shapes = st_by_kind[group[0]][2][mtl]  # (F, 2) float
+                # v1 sampler needs at least one full window inside the map.
+                if shapes[:, 0].min() >= _WIN_R and shapes[:, 1].min() >= _WIN_C:
+                    meta = _window_metadata(
+                        uv[:F], shapes,
+                        [st_by_kind[k][1][mtl] for k in group])
+                    if meta is not None:
+                        win_kinds = tuple(group)
+                        num_windows = len(meta["w_face"])
+                        for name in ("wbase", "nwr", "nwc", "rbase",
+                                     "cbase", "kmask"):
+                            packet[f"win_{name}"] = jnp.asarray(
+                                _pad_rows(meta[name], Fp))
+                        packet["win_thw"] = jnp.asarray(
+                            _pad_rows(shapes.astype(np.int32), Fp))
+                        packet["windows"] = _build_window_content(
+                            [(st_by_kind[k][0], st_by_kind[k][1][mtl])
+                             for k in group],
+                            meta["w_face"], meta["w_r0"], meta["w_c0"],
+                            shapes)
+        if not win_kinds:
+            for name in ("wbase", "nwr", "nwc", "rbase", "cbase", "kmask"):
+                packet[f"win_{name}"] = jnp.zeros(Fp, jnp.int32)
+            packet["win_thw"] = jnp.ones((Fp, 2), jnp.int32)
+
         packet["_config"] = ModelConfig(
             num_faces=Fp, clip=model.clip, depth_test=model.depth_test,
             shadowing=model.shadowing, has_vn=has_vn,
             has_uv=model.uv is not None, has_map_kd=flags["kd"],
             has_map_ks=flags["ks"], has_norm=flags["norm"],
-            num_edges=et.num_edges,
+            num_edges=et.num_edges, win_kinds=win_kinds,
+            num_windows=num_windows,
         )
         self._packets[key] = packet
         return packet

@@ -57,6 +57,11 @@ class ModelConfig:
     has_map_ks: bool
     has_norm: bool
     num_edges: int = 0             # padded silhouette-edge count
+    #: Texture kinds ('kd' | 'norm' | 'ks') sampled by the in-kernel
+    #: windowed sampler (raster_pallas.sample_textures_pallas); kind k reads
+    #: sampled plane k. Empty = XLA gather path only.
+    win_kinds: Tuple[str, ...] = ()
+    num_windows: int = 0           # rows of this model's window-content table
 
 
 @dataclass(frozen=True)
@@ -77,6 +82,9 @@ class SceneConfig:
     chunk: int = 8
     backend: str = "xla"           # 'xla' | 'pallas'
     pallas_interpret: bool = False  # Pallas interpreter mode (CPU testing)
+    #: Windowed in-kernel texture sampling (Pallas + general shader only).
+    #: None = auto (on for frames past 512²,  where it beats the XLA gather).
+    tex_kernel: "bool | None" = None
 
 
 def _cam_matrices(cfg: SceneConfig, cam, projection_type):
@@ -99,6 +107,7 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
     height, width = cfg.resolution
     raster_parts = []
     attr_parts = []
+    win_offset = 0
     for mc, md in zip(cfg.models, dyn["models"]):
         verts = md["verts"]
         va = transform_vertices(verts, cam_m["MVP"], cam_m["viewport"],
@@ -131,6 +140,17 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
                                   precision="highest")[vid]
             raster["clip_dbg"] = clip_dbg
 
+        # Windowed-sampler metadata (raster_pallas.sample_textures_pallas):
+        # window ids are global across models, like gids.
+        raster["wbase"] = md["win_wbase"] + win_offset
+        raster["wnwr"] = md["win_nwr"]
+        raster["wnwc"] = md["win_nwc"]
+        raster["wrbase"] = md["win_rbase"]
+        raster["wcbase"] = md["win_cbase"]
+        raster["wkmask"] = md["win_kmask"]
+        raster["wthw"] = md["win_thw"]
+        win_offset += mc.num_windows
+
         attrs = {
             "sx": f["sx"], "sy": f["sy"], "inv_w": f["inv_w"],
             "szlin": f["szlin"],
@@ -154,20 +174,24 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
     return raster, attrs
 
 
-def _sample_stack(stack, slot, row, col, scale_off):
-    """Gather one RGB-packed u32 texel per pixel and unpack to float RGB.
-
-    One u32 gather + shift/mask is ~5x cheaper than an f32[..., 3] slice
-    gather on TPU (gathers cost per indexed element). ``scale_off`` is the
-    stack's (scale, offset) dequantization affine (models/scene.py
-    _texture_stack).
-    """
-    packed = stack[jnp.clip(slot, 0).astype(jnp.int32), row, col]
+def _unpack_texel(packed, scale_off):
+    """RGB-packed u32/i32 texels -> float RGB under the stack's (scale,
+    offset) dequantization affine (models/scene.py _texture_stack)."""
     r = (packed & 0xFF).astype(jnp.float32)
     g = ((packed >> 8) & 0xFF).astype(jnp.float32)
     b = ((packed >> 16) & 0xFF).astype(jnp.float32)
     rgb = jnp.stack([r, g, b], axis=-1) / 255.0
     return rgb * scale_off[0] + scale_off[1]
+
+
+def _sample_stack(stack, slot, row, col, scale_off):
+    """Gather one RGB-packed u32 texel per pixel and unpack to float RGB.
+
+    One u32 gather + shift/mask is ~5x cheaper than an f32[..., 3] slice
+    gather on TPU (gathers cost per indexed element).
+    """
+    packed = stack[jnp.clip(slot, 0).astype(jnp.int32), row, col]
+    return _unpack_texel(packed, scale_off)
 
 
 def _wrap_index(x, dim):
@@ -297,13 +321,16 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
     return jnp.where(bg[..., None], background, rgb)
 
 
-def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0):
+def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0,
+                   samp=None, samp_mask=None):
     """Deferred shading from the kernel-interpolated G-buffer.
 
     Same lighting semantics as :func:`_shade`, but every per-face attribute
     arrives pre-interpolated from the Pallas kernel
-    (raster_pallas.visibility_gbuffer_pallas) — the only remaining gathers are
-    the actual texture fetches.
+    (raster_pallas.visibility_gbuffer_pallas). Texture fetches come from the
+    windowed sampler planes (``samp``/``samp_mask``,
+    raster_pallas.sample_textures_pallas) when available, falling back to the
+    XLA per-pixel gather for kinds the sampler doesn't cover.
     """
     from tpu_renderer.ops import raster_pallas as rp
 
@@ -322,15 +349,28 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0):
         row = _wrap_index((1.0 - jnp.clip(iv, max=1.0)) * (th - 1), th)
         return row, col
 
+    def kernel_sampled(mc, md, kind):
+        """Sampled RGB + mask from the windowed sampler, or None."""
+        if samp is None or kind not in mc.win_kinds:
+            return None
+        k = mc.win_kinds.index(kind)
+        rgb = _unpack_texel(samp[k], md[f"{kind}_scale_off"])
+        return rgb, ((samp_mask >> k) & 1) > 0
+
     color = vec(rp.GB_KD)
     for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
         if not mc.has_map_kd:
             continue
-        row, col = tex_index(ch(rp.GB_KD_SLOT + 1), ch(rp.GB_KD_SLOT + 2))
-        slot = ch(rp.GB_KD_SLOT)
-        sampled = _sample_stack(md["kd_stack"], slot, row, col,
-                                md["kd_scale_off"])
-        mask = (model_id == m) & (slot >= 0)
+        ks = kernel_sampled(mc, md, "kd")
+        if ks is not None:
+            sampled, sel = ks
+            mask = (model_id == m) & sel
+        else:
+            row, col = tex_index(ch(rp.GB_KD_SLOT + 1), ch(rp.GB_KD_SLOT + 2))
+            slot = ch(rp.GB_KD_SLOT)
+            sampled = _sample_stack(md["kd_stack"], slot, row, col,
+                                    md["kd_scale_off"])
+            mask = (model_id == m) & (slot >= 0)
         color = jnp.where(mask[..., None], sampled, color)
 
     n_base = normalize(vec(rp.GB_N))
@@ -338,27 +378,38 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0):
     for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
         if not mc.has_norm:
             continue
-        row, col = tex_index(ch(rp.GB_NORM_SLOT + 1), ch(rp.GB_NORM_SLOT + 2))
-        slot = ch(rp.GB_NORM_SLOT)
-        sampled = _sample_stack(md["norm_stack"], slot, row, col,
-                                md["norm_scale_off"])
+        ks = kernel_sampled(mc, md, "norm")
+        if ks is not None:
+            sampled, sel = ks
+            mask = (model_id == m) & sel
+        else:
+            row, col = tex_index(ch(rp.GB_NORM_SLOT + 1),
+                                 ch(rp.GB_NORM_SLOT + 2))
+            slot = ch(rp.GB_NORM_SLOT)
+            sampled = _sample_stack(md["norm_stack"], slot, row, col,
+                                    md["norm_scale_off"])
+            mask = (model_id == m) & (slot >= 0)
         tangent_n = (normalize(vec(rp.GB_TAN)) * sampled[..., 0:1] +
                      normalize(vec(rp.GB_BIT)) * sampled[..., 1:2] +
                      n_base * sampled[..., 2:3])
         is_tangent = ch(rp.GB_NORM_SLOT + 3) > 0.5
         mapped = jnp.where(is_tangent[..., None], tangent_n, sampled)
-        mask = (model_id == m) & (slot >= 0)
         normal = jnp.where(mask[..., None], normalize(mapped), normal)
 
     specular_light = vec(rp.GB_KS) * 255.0
     for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
         if not mc.has_map_ks:
             continue
-        row, col = tex_index(ch(rp.GB_KS_SLOT + 1), ch(rp.GB_KS_SLOT + 2))
-        slot = ch(rp.GB_KS_SLOT)
-        sampled = _sample_stack(md["ks_stack"], slot, row, col,
-                                md["ks_scale_off"])
-        mask = (model_id == m) & (slot >= 0)
+        ks = kernel_sampled(mc, md, "ks")
+        if ks is not None:
+            sampled, sel = ks
+            mask = (model_id == m) & sel
+        else:
+            row, col = tex_index(ch(rp.GB_KS_SLOT + 1), ch(rp.GB_KS_SLOT + 2))
+            slot = ch(rp.GB_KS_SLOT)
+            sampled = _sample_stack(md["ks_stack"], slot, row, col,
+                                    md["ks_scale_off"])
+            mask = (model_id == m) & (slot >= 0)
         specular_light = jnp.where(mask[..., None],
                                    sampled[..., 0:1] * 255.0, specular_light)
 
@@ -442,12 +493,42 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     use_gbuffer = use_pallas and cfg.shader == SHADER_GENERAL
     gbuffer = None
 
+    # In-kernel windowed texture sampling: on where it beats the per-pixel
+    # XLA gather (~13 ms/Mpx); the visit count is resolution-independent, so
+    # small frames keep the gather.
+    n_kinds = max((len(mc.win_kinds) for mc in cfg.models), default=0)
+    use_tex_kernel = (cfg.tex_kernel if cfg.tex_kernel is not None
+                      else local_height * width > 512 * 512)
+    samp = samp_mask = None
+
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
     if use_gbuffer:
-        from tpu_renderer.ops.raster_pallas import visibility_gbuffer_pallas
+        from tpu_renderer.ops.raster_pallas import (face_bins,
+                                                    sample_textures_pallas,
+                                                    visibility_gbuffer_pallas)
+        from tpu_renderer.ops import raster_pallas as rp
+        bins = face_bins(faces, local_height, width)
         zb_sign, tid, gbuffer = visibility_gbuffer_pallas(
             faces, attrs, local_height, width, sign,
-            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret)
+            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
+            bins=bins[:2])
+        if n_kinds > 0 and use_tex_kernel:
+            # Window content blocks, row-padded to the scene-wide kind count
+            # (models carry 16 rows per kind they sample).
+            parts = []
+            for mc, md in zip(cfg.models, dyn["models"]):
+                if not mc.win_kinds:
+                    continue
+                w = md["windows"]
+                if w.shape[1] < 16 * n_kinds:
+                    w = jnp.pad(
+                        w, ((0, 0), (0, 16 * n_kinds - w.shape[1]), (0, 0)))
+                parts.append(w)
+            windows = jnp.concatenate(parts, axis=0)
+            samp, samp_mask = sample_textures_pallas(
+                faces, bins[:2], windows, tid, gbuffer[rp.GB_IU],
+                gbuffer[rp.GB_IV], local_height, width, n_kinds,
+                interpret=cfg.pallas_interpret)
     elif use_pallas:
         from tpu_renderer.ops.raster_pallas import visibility_pallas
         zb_sign, tid = visibility_pallas(
@@ -500,7 +581,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
 
     if use_gbuffer:
         frame = _shade_gbuffer(cfg, dyn, tid, stencil, gbuffer, cam_m,
-                               row0=row0)
+                               row0=row0, samp=samp, samp_mask=samp_mask)
     else:
         frame = _shade(cfg, dyn, tid, stencil, attrs, cam_m, row0=row0)
     return frame, zbuf, tid, stencil

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["bin_primitives", "pack_faces", "visibility_pallas",
-           "pack_quads", "stencil_pallas", "TILE_H", "TILE_W"]
+           "pack_quads", "stencil_pallas", "face_bins",
+           "sample_textures_pallas", "TILE_H", "TILE_W"]
 
 TILE_H = 64
 TILE_W = 128
@@ -242,6 +243,23 @@ def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None):
         counts.append(cnt)
         idx.append(ix)
     return jnp.stack(counts), jnp.stack(idx)[..., None]
+
+
+def face_bins(faces, height, width):
+    """Shared tile/face intersection lists: (counts, idx, chunk).
+
+    Computed once per frame and reused by the visibility/G-buffer kernel and
+    the windowed texture sampler (their face loops iterate the same lists).
+    """
+    g0 = faces["sx"].shape[0]
+    chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
+    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], chunk),
+                                "sy": _pad_rows_to(faces["sy"], chunk)})
+    counts, idx = _chunked_bins(
+        _pad_rows_to(faces["bbox"], chunk),
+        _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
+        chunk, edge_coeffs=coeffs)
+    return counts, idx, chunk
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
@@ -617,7 +635,7 @@ def pack_face_attrs(attrs):
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
                                    "interpret"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
-                              with_debug=False, interpret=False):
+                              with_debug=False, interpret=False, bins=None):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -643,12 +661,10 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
     fdata = _pad_rows_to(fdata, chunk)
     idata = _pad_rows_to(idata, chunk)
-    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], chunk),
-                                "sy": _pad_rows_to(faces["sy"], chunk)})
-    counts, idx = _chunked_bins(
-        _pad_rows_to(faces["bbox"], chunk),
-        _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
-        chunk, edge_coeffs=coeffs)
+    if bins is None:
+        counts, idx, _ = face_bins(faces, height, width)
+    else:
+        counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
@@ -827,3 +843,263 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     )(counts.reshape(-1), idx, fdata, idata)
     return (zb[:height, :width], tid[:height, :width],
             gb[:, :height, :width])
+
+
+# ------------------------------------------------- windowed texture sampler
+
+# Per-face sampler scalars: [0] gid, [1] wbase (global window row), [2] nwr,
+# [3] nwc (window grid dims), [4] kind bitmask, [5] th, [6] tw (texture
+# shape), [7] rbase, [8] cbase (unwrapped texel origin of the window grid).
+_S_COLS = 16
+
+#: Texel rows per window / per kind plane inside a window-content row block.
+WIN_R = 16
+WIN_C = 128
+
+#: Speculatively prefetched windows per face (covers ~p95 of diablo faces);
+#: ranges beyond SPEC fall back to synchronous per-window DMA.
+_SPEC = 4
+
+
+def pack_sample_faces(faces):
+    """faces dict -> (G, _S_COLS) int32 sampler table."""
+    g = faces["sx"].shape[0]
+    cols = jnp.stack([
+        faces["gid"], faces["wbase"], faces["wnwr"], faces["wnwc"],
+        faces["wkmask"], faces["wthw"][:, 0], faces["wthw"][:, 1],
+        faces["wrbase"], faces["wcbase"],
+    ], axis=1).astype(jnp.int32)
+    return jnp.concatenate(
+        [cols, jnp.zeros((g, _S_COLS - cols.shape[1]), jnp.int32)], axis=1)
+
+
+def _pad2d(a, hp, wp, fill):
+    return jnp.pad(a, ((0, hp - a.shape[0]), (0, wp - a.shape[1])),
+                   constant_values=fill)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "n_kinds", "interpret"))
+def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
+                           n_kinds, interpret=False):
+    """Per-pixel nearest texture sampling from per-face texel windows.
+
+    Replaces the XLA per-pixel table gathers (~13 ms per million indices on
+    TPU — a scalar loop) with kernel-side sampling: each face carries a grid
+    of (16, 128)-texel windows covering its UV bbox (models/scene.py
+    _window_metadata, content pre-sliced from the packed texture stacks);
+    per (face, tile) the kernel computes the tile's texel footprint, visits
+    only the windows the footprint intersects, and samples each via a 16-row
+    sweep of single-VREG dynamic lane gathers (tpu.dynamic_gather — the
+    only fast lane-crossing data movement on TPU).
+
+    DMA pipelining: while face k is processed, the first _SPEC windows of
+    face k+1 prefetch into the alternate buffer; visits outside the
+    speculative set use synchronous DMA (rare: large-UV faces like floors,
+    whose per-tile footprint is small anyway).
+
+    The sampled texel semantics replicate the reference's get_UV
+    (core.py:138-143) bit-exactly vs the XLA gather path: same iu/iv
+    (G-buffer channels), same clip-max-1 + trunc + negative wrap formula,
+    same packed-u32 texels.
+
+    Returns (samp (n_kinds, H, W) int32 packed texels, mask (H, W) int32
+    kind bitmask of sampled pixels).
+    """
+    counts, idx = bins
+    g0 = faces["sx"].shape[0]
+    chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)   # matches face_bins
+    sdata = _pad_rows_to(pack_sample_faces(faces), chunk)
+    n_chunks = sdata.shape[0] // chunk
+    n_ty = _cdiv(height, TILE_H)
+    n_tx = _cdiv(width, TILE_W)
+    hp, wp = n_ty * TILE_H, n_tx * TILE_W
+    tid_p = _pad2d(tid, hp, wp, -1)
+    iu_p = _pad2d(iu, hp, wp, 0.0)
+    iv_p = _pad2d(iv, hp, wp, 0.0)
+    wrows = windows.shape[1]            # 16 * n_kinds
+
+    def kernel(counts_ref, idx_ref, sdata_ref, win_hbm, tid_ref, iu_ref,
+               iv_ref, samp_ref, mask_ref, spec, sync, sems, sem_sync):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        c = pl.program_id(2)
+        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
+
+        @pl.when(c == 0)
+        def _():
+            samp_ref[:] = jnp.zeros((n_kinds, TILE_H, TILE_W), jnp.int32)
+            mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+
+        def spec_dma(buf, j, w):
+            return pltpu.make_async_copy(
+                win_hbm.at[w], spec.at[buf, j], sems.at[buf, j])
+
+        def prefetch(k, buf):
+            f = idx_ref[0, 0, k, 0]
+            wb = sdata_ref[f, 1]
+            wn = sdata_ref[f, 2] * sdata_ref[f, 3]
+            for j in range(_SPEC):
+                @pl.when(j < wn)
+                def _():
+                    spec_dma(buf, j, wb + j).start()
+
+        @pl.when(count > 0)
+        def _():
+            prefetch(0, 0)
+
+        def process_window(wv, rel_r, rel_c, win, kmask):
+            """Sample every kind plane of one window's content block."""
+            inwin = ((rel_r >= 0) & (rel_r < WIN_R) &
+                     (rel_c >= 0) & (rel_c < WIN_C) & win)
+            rel_c_s = jnp.where(inwin, rel_c, 0)
+
+            @pl.when(jnp.any(inwin))
+            def _():
+                mask_ref[:] = jnp.where(inwin, mask_ref[:] | kmask,
+                                        mask_ref[:])
+                for k in range(n_kinds):
+                    kin = inwin & ((kmask >> k) & 1 > 0)
+                    acc = samp_ref[k, :, :]
+                    for rr in range(WIN_R):
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(wv[WIN_R * k + rr:
+                                               WIN_R * k + rr + 1, :],
+                                             (TILE_H, TILE_W)),
+                            rel_c_s, axis=1)
+                        acc = jnp.where(kin & (rel_r == rr), g, acc)
+                    samp_ref[k, :, :] = acc
+
+        def body(k, _):
+            buf = jax.lax.rem(k, 2)
+            f = idx_ref[0, 0, k, 0]
+            gid = sdata_ref[f, 0]
+            wb = sdata_ref[f, 1]
+            nwr = sdata_ref[f, 2]
+            nwc = sdata_ref[f, 3]
+            kmask = sdata_ref[f, 4]
+            wn = nwr * nwc
+            wn_spec = jnp.minimum(wn, _SPEC)
+
+            # Start face k+1's speculative windows, then drain this face's.
+            @pl.when(k + 1 < count)
+            def _():
+                prefetch(k + 1, 1 - buf)
+            for j in range(_SPEC):
+                @pl.when(j < wn_spec)
+                def _():
+                    spec_dma(buf, j, wb + j).wait()
+
+            win = tid_ref[:] == gid
+
+            @pl.when((kmask > 0) & jnp.any(win))
+            def _():
+                th = sdata_ref[f, 5]
+                tw = sdata_ref[f, 6]
+                rbase = sdata_ref[f, 7]
+                cbase = sdata_ref[f, 8]
+                thf = th.astype(jnp.float32)
+                twf = tw.astype(jnp.float32)
+                # Reference get_UV indexing (core.py:138-143), identical
+                # float ops to pipeline._wrap_index for bit-parity with the
+                # XLA gather path.
+                cf = jnp.trunc(jnp.clip(iu_ref[:], max=1.0) * (twf - 1.0))
+                col = (cf - twf * jnp.floor(cf / twf)).astype(jnp.int32)
+                rf = jnp.trunc((1.0 - jnp.clip(iv_ref[:], max=1.0))
+                               * (thf - 1.0))
+                row = (rf - thf * jnp.floor(rf / thf)).astype(jnp.int32)
+
+                # Tile texel footprint over winning pixels -> window range.
+                big = jnp.int32(2 ** 30)
+                trmin = jnp.min(jnp.where(win, row, big))
+                trmax = jnp.max(jnp.where(win, row, -big))
+                tcmin = jnp.min(jnp.where(win, col, big))
+                tcmax = jnp.max(jnp.where(win, col, -big))
+                # Straddle-corrected window-grid coordinates: row sits in
+                # window floor((row - rbase)/16) in unwrapped space; wrapped
+                # rows may be off by th — clamp covers it (visits then test
+                # texels exactly).
+                wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
+                wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
+                wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
+                wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
+                nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
+
+                def visit(v, carry):
+                    wr, wc = carry
+                    off = wr * nwc + wc
+                    # Window texel origin, wrapped into the texture (scalar
+                    # f32 floor-mod — no integer division on TPU); rel of
+                    # wrapped texel coords corrected by one texture period
+                    # where the window straddles the wrap seam.
+                    r0 = (rbase + (wr << 4)).astype(jnp.float32)
+                    c0 = (cbase + (wc << 7)).astype(jnp.float32)
+                    r0w = (r0 - thf * jnp.floor(r0 / thf)).astype(jnp.int32)
+                    c0w = (c0 - twf * jnp.floor(c0 / twf)).astype(jnp.int32)
+                    rel_r = row - r0w
+                    rel_r = rel_r + th * (rel_r < -(th - WIN_R))
+                    rel_c = col - c0w
+                    rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
+
+                    @pl.when(off < wn_spec)
+                    def _():
+                        process_window(spec[buf, off], rel_r, rel_c, win,
+                                       kmask)
+
+                    @pl.when(off >= wn_spec)
+                    def _():
+                        dma = pltpu.make_async_copy(
+                            win_hbm.at[wb + off], sync, sem_sync)
+                        dma.start()
+                        dma.wait()
+                        process_window(sync[:], rel_r, rel_c, win, kmask)
+
+                    wc2 = jnp.where(wc + 1 > wc1, wc0, wc + 1)
+                    wr2 = jnp.where(wc + 1 > wc1, wr + 1, wr)
+                    return (wr2, wc2)
+
+                jax.lax.fori_loop(0, nv, visit, (wr0, wc0))
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ty, n_tx, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, 1),
+                         lambda ty, tx, c, s: (c, ty * n_tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _S_COLS), lambda ty, tx, c, s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # windows (HBM)
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_kinds, TILE_H, TILE_W),
+                         lambda ty, tx, c, s: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
+            pltpu.VMEM((wrows, WIN_C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, _SPEC)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    samp, mask = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_kinds, hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts.reshape(-1), idx, sdata, windows, tid_p, iu_p, iv_p)
+    return samp[:, :height, :width], mask[:height, :width]

@@ -43,7 +43,11 @@ __all__ = ["render_frame_sharded", "pad_models_for_tris", "dyn_partition_specs"]
 #: Per-model packet keys sharded along the face axis.
 _FACE_KEYS = ("vid", "pad_valid", "uv", "kd", "ks", "ns", "pm", "pr", "ka",
               "kd_slot", "ks_slot", "norm_slot", "kd_shape", "ks_shape",
-              "norm_shape", "norm_tangent", "vn")
+              "norm_shape", "norm_tangent", "vn",
+              # windowed-sampler metadata (per face; the content table
+              # "windows" replicates — the sampler runs single-chip only)
+              "win_wbase", "win_nwr", "win_nwc", "win_rbase", "win_cbase",
+              "win_kmask", "win_thw")
 #: Incidence arrays sharded along the (3 * faces) axis.
 _INC_KEYS = ("inc_edge", "inc_dir", "inc_valid")
 
