@@ -366,8 +366,9 @@ _Q_COLS = 28
 _QI_COLS = 8
 
 
-def _bin_quads(qdata, qi, height, width):
-    """Quad/tile lists with exact convex-coverage pruning.
+def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
+               near=None, far=None):
+    """Quad/tile lists with exact convex-coverage and z-occlusion pruning.
 
     Extruded shadow quads are long screen-space slivers: their bbox (the
     binning granule) covers ~30 tiles while the polygon itself crosses a
@@ -376,6 +377,15 @@ def _bin_quads(qdata, qi, height, width):
     separates per axis: max_c(cx*A + cy*B) = x0*A + TW*relu(A) + y0*B +
     TH*relu(B). One (T, E, 12) elementwise reduce prunes ~70%% of the pairs
     the scalar-bound stencil kernel would otherwise iterate.
+
+    ``zmax_tiles`` (n_ty, n_tx): per-tile maximum of the sign-space z-buffer.
+    Shadow volumes extrude 1000 units away from the light, so most of their
+    area lies behind the visible surfaces and fails the kernel's depth test
+    everywhere in a tile: the quad's plane z is affine in (x, y), its
+    linearization monotone, so the tile minimum of sign-space quad depth sits
+    at a corner — if even that exceeds the tile's z-buffer maximum, no pixel
+    can pass and the pair prunes (conservatively skipped across the
+    linearization pole and degenerate planes).
     """
     e, _ = qdata.shape
     n_ty = _cdiv(height, TILE_H)
@@ -416,7 +426,41 @@ def _bin_quads(qdata, qi, height, width):
     ov_y = ((b2[None, :] < (tyi[:, None] + 1) * TILE_H) &
             (b3[None, :] > tyi[:, None] * TILE_H))
     overlap = (covered & ov_y[:, None, :] & ov_x[None, :, :] &
-               (qi[:, 5] > 0)[None, None, :]).reshape(n_ty * n_tx, e)
+               (qi[:, 5] > 0)[None, None, :])
+
+    if zmax_tiles is not None:
+        Ax, By, Cz, D = (qdata[:, 24], qdata[:, 25], qdata[:, 26],
+                         qdata[:, 27])
+        safe = Cz != 0
+        czs = jnp.where(safe, Cz, 1.0)
+        zx = -Ax / czs                          # z_raw = zx*x + zy*y + zd
+        zy = -By / czs
+        zd = -D / czs
+        x_lo = tx0[:, None] * zx + TILE_W * jnp.minimum(zx, 0)   # (Tx, E)
+        x_hi = tx0[:, None] * zx + TILE_W * jnp.maximum(zx, 0)
+        y_lo = ty0[:, None] * zy + TILE_H * jnp.minimum(zy, 0)   # (Ty, E)
+        y_hi = ty0[:, None] * zy + TILE_H * jnp.maximum(zy, 0)
+        zr_lo = y_lo[:, None] + x_lo[None] + zd                  # (Ty, Tx, E)
+        zr_hi = y_hi[:, None] + x_hi[None] + zd
+        nf2 = 2.0 * near * far
+        fpn = far + near
+        fmn = far - near
+        q_lo = fpn - zr_lo * fmn
+        q_hi = fpn - zr_hi * fmn
+        # lin(z) = nf2/(fpn - z*fmn) is monotone increasing between poles;
+        # sign-space minimum sits at zr_lo (sign=+1) or zr_hi (sign=-1).
+        zr_at_min = zr_lo if sign > 0 else zr_hi
+        zs_min = sign * nf2 / (fpn - zr_at_min * fmn)
+        no_pole = (q_lo > 0) & (q_hi > 0)
+        zmax = zmax_tiles[:, :, None]
+        # All-background tiles have zmax == -inf: any finite quad depth
+        # prunes them (zero slack so -inf + slack stays -inf, not NaN).
+        slack = jnp.where(jnp.isfinite(zmax),
+                          1e-6 * (jnp.abs(zmax) + 1.0), 0.0)
+        pruned = safe[None, None] & no_pole & (zs_min > zmax + slack)
+        overlap &= ~pruned
+
+    overlap = overlap.reshape(n_ty * n_tx, e)
     counts = overlap.sum(axis=1, dtype=jnp.int32)
     idx = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
     return counts, idx
@@ -476,21 +520,31 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     n_chunks = e // chunk
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
+    zb_pad = jnp.full((n_ty * TILE_H, n_tx * TILE_W), jnp.inf, jnp.float32)
+    zb_pad = zb_pad.at[:height, :width].set(zbuf * sign)
+    # Background pixels (z-buffer never written) are excluded from the Pallas
+    # stencil: the frame never reads stencil there (background overrides in
+    # shading, exactly like the reference's face-only pass 3), and treating
+    # them as always-pass would defeat the z-occlusion prune — nearly every
+    # tile contains some sky.
+    finite = zb_pad < 3e38
+    zmax_tiles = jnp.where(finite, zb_pad, -jnp.inf).reshape(
+        n_ty, TILE_H, n_tx, TILE_W).max(axis=(1, 3))
     counts, idx = [], []
     for c in range(n_chunks):
         sl = slice(c * chunk, (c + 1) * chunk)
-        cnt, ix = _bin_quads(qdata[sl], qi[sl], height, width)
+        cnt, ix = _bin_quads(qdata[sl], qi[sl], height, width,
+                             zmax_tiles=zmax_tiles, sign=sign,
+                             near=near, far=far)
         counts.append(cnt)
         idx.append(ix)
     counts = jnp.stack(counts)
     idx = jnp.stack(idx)[..., None]
-    zb_pad = jnp.full((n_ty * TILE_H, n_tx * TILE_W), jnp.inf, jnp.float32)
-    zb_pad = zb_pad.at[:height, :width].set(zbuf * sign)
     zscal = jnp.stack([2.0 * near * far, far + near, far - near]
                       ).astype(jnp.float32)
 
     def kernel(counts_ref, zscal_ref, idx_ref, qdata_ref, qi_ref, zb_ref,
-               st_ref):
+               st_ref, ins_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
@@ -519,18 +573,37 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             # lower on TPU).
             front_sign = jnp.where(front, 1.0, -1.0)
 
-            px = [qdata_ref[q, i] for i in range(12)]
-            py = [qdata_ref[q, 12 + i] for i in range(12)]
-            inside = jnp.ones((TILE_H, TILE_W), bool)
-            for i in range(12):
+            px0, py0 = qdata_ref[q, 0], qdata_ref[q, 12]
+
+            def edge_test(inside, i):
+                pxi = qdata_ref[q, i]
+                pyi = qdata_ref[q, 12 + i]
                 # Active edges close the loop only at i == nverts - 1.
                 wrap = i + 1 == nverts
-                px1 = jnp.where(wrap, px[0], px[(i + 1) % 12])
-                py1 = jnp.where(wrap, py[0], py[(i + 1) % 12])
-                ex = (px1 - px[i]) * front_sign
-                ey = (py1 - py[i]) * front_sign
-                cross = (cols - px[i]) * ey - (rows - py[i]) * ex
-                inside &= (cross > 0) | (i >= nverts)
+                px1 = jnp.where(wrap, px0, qdata_ref[q, (i + 1) % 12])
+                py1 = jnp.where(wrap, py0, qdata_ref[q, 12 + (i + 1) % 12])
+                ex = (px1 - pxi) * front_sign
+                ey = (py1 - pyi) * front_sign
+                cross = (cols - pxi) * ey - (rows - pyi) * ex
+                return inside & ((cross > 0) | (i >= nverts))
+
+            # Clipped polys average ~4 vertices: test 6 edges unconditionally
+            # and the rare 7..12 only when present (one branch vs 6 edge
+            # evaluations — halves the per-visit vector work). The branch
+            # carries through an i32 scratch ref: Mosaic lowers pl.when on
+            # ref mutations but not lax.cond with vector carries.
+            inside = jnp.ones((TILE_H, TILE_W), bool)
+            for i in range(6):
+                inside = edge_test(inside, i)
+            ins_ref[:] = inside.astype(jnp.int32)
+
+            @pl.when(nverts > 6)
+            def _():
+                ins = ins_ref[:] != 0
+                for i in range(6, 12):
+                    ins = edge_test(ins, i)
+                ins_ref[:] = ins.astype(jnp.int32)
+            inside = ins_ref[:] != 0
 
             b0 = qi_ref[q, 0].astype(jnp.float32)
             b1 = qi_ref[q, 1].astype(jnp.float32)
@@ -544,7 +617,10 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             dd = qdata_ref[q, 27]
             z = -(ax * cols + by * rows + dd) / cz
             z = nf2 / (fpn - z * fmn)
-            pass_z = zb_ref[:] >= z * sign
+            # Geometry pixels only: background (unwritten z) never reads the
+            # stencil in shading, and excluding it enables the z-occlusion
+            # prune in _bin_quads.
+            pass_z = (zb_ref[:] >= z * sign) & (zb_ref[:] < 3e38)
 
             contrib = jnp.where(front, 1, -1).astype(jnp.int32)
             mask = inside & window & pass_z
@@ -570,6 +646,9 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
         ],
     )
     (stencil,) = pl.pallas_call(

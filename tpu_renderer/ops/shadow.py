@@ -166,10 +166,14 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
         inside &= edge_ok | ~active[i]
 
     # Plane-equation depth + linearization (triangular.py:351-354).
+    # Background pixels (z-buffer never written) are excluded: shading never
+    # reads the stencil there (pass 3 shades face pixels only, core.py:624),
+    # and the restriction enables the Pallas path's z-occlusion binning prune
+    # — both paths keep identical stencils.
     z = -(Ax * cols + By * rows + D) / Cz
     z = linearize_z(z, near, far)
     zs = z * sign
-    pass_z = zb_sign >= zs
+    pass_z = (zb_sign >= zs) & (zb_sign < 3e38)
 
     contrib = jnp.where(is_front, jnp.int32(1), jnp.int32(-1))
     mask = inside & window & pass_z & ok & box_valid
@@ -204,10 +208,10 @@ def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
     e_total = quad.shape[0]
 
     # Compact to silhouette edges before the expensive clip/project stages.
-    # Typical silhouettes are ~15-25% of unique edges; the capacity covers
-    # half, with a conditional full-list fallback for pathological frames —
+    # Typical silhouettes are ~15-25% of unique edges; the capacity covers a
+    # third, with a conditional full-list fallback for pathological frames —
     # lax.cond executes only the taken branch on TPU.
-    cap = max(64, -(-e_total // 2 // 64) * 64)
+    cap = max(64, -(-e_total // 3 // 64) * 64)
     if axis_name is None and cap < e_total:
         order = jnp.argsort(~sil, stable=True)
         n_sil = sil.sum()
