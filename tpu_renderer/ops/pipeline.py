@@ -508,11 +508,21 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                                                     visibility_gbuffer_pallas)
         from tpu_renderer.ops import raster_pallas as rp
         bins = face_bins(faces, local_height, width)
+        sampler_on = n_kinds > 0 and use_tex_kernel
+        # With the windowed sampler active, every windowed kind skips the
+        # XLA gather, so phase 1 needn't interpolate the slot/shape table
+        # channels — unless some model has a texture kind the sampler
+        # doesn't cover.
+        needs_tables = (not sampler_on) or any(
+            (mc.has_map_kd and "kd" not in mc.win_kinds)
+            or (mc.has_norm and "norm" not in mc.win_kinds)
+            or (mc.has_map_ks and "ks" not in mc.win_kinds)
+            for mc in cfg.models)
         zb_sign, tid, gbuffer = visibility_gbuffer_pallas(
             faces, attrs, local_height, width, sign,
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
-            bins=bins[:2])
-        if n_kinds > 0 and use_tex_kernel:
+            bins=bins[:2], with_tex_tables=needs_tables)
+        if sampler_on:
             # Window content blocks, row-padded to the scene-wide kind count
             # (models carry 16 rows per kind they sample).
             parts = []

@@ -712,9 +712,10 @@ def pack_face_attrs(attrs):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
-                                   "interpret"))
+                                   "interpret", "with_tex_tables"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
-                              with_debug=False, interpret=False, bins=None):
+                              with_debug=False, interpret=False, bins=None,
+                              with_tex_tables=True):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -872,8 +873,18 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                         put(GB_KD + ci, fdata_ref[f, X + 24 + ci])
                         put(GB_KS + ci, fdata_ref[f, X + 27 + ci])
                     put(GB_NS, fdata_ref[f, X + 30])
-                    for off in range(11):          # slots/shapes/flags/model
-                        put(GB_KD_SLOT + off, fdata_ref[f, X + 31 + off])
+                    if with_tex_tables:
+                        # slots/shapes — only the XLA gather path reads
+                        # them; the windowed sampler gets its per-face
+                        # table from sdata instead.
+                        for off in range(10):
+                            if off == GB_NORM_SLOT + 3 - GB_KD_SLOT:
+                                continue
+                            put(GB_KD_SLOT + off, fdata_ref[f, X + 31 + off])
+                    # Tangent flag + model id: read by shading on both paths.
+                    put(GB_NORM_SLOT + 3,
+                        fdata_ref[f, X + 31 + GB_NORM_SLOT + 3 - GB_KD_SLOT])
+                    put(GB_MODEL, fdata_ref[f, X + 41])
                 return 0
 
             jax.lax.fori_loop(0, count, gbody, 0)
@@ -939,6 +950,10 @@ WIN_C = 128
 #: ranges beyond SPEC fall back to synchronous per-window DMA.
 _SPEC = 4
 
+#: Pixel-slab height for per-visit sampler work (2 VREGs; must divide TILE_H
+#: and be a multiple of 8 for aligned dynamic sublane slices).
+_SLAB = 16
+
 
 def pack_sample_faces(faces):
     """faces dict -> (G, _S_COLS) int32 sampler table."""
@@ -947,6 +962,7 @@ def pack_sample_faces(faces):
         faces["gid"], faces["wbase"], faces["wnwr"], faces["wnwc"],
         faces["wkmask"], faces["wthw"][:, 0], faces["wthw"][:, 1],
         faces["wrbase"], faces["wcbase"],
+        faces["bbox"][:, 2], faces["bbox"][:, 3],   # pixel-row extent
     ], axis=1).astype(jnp.int32)
     return jnp.concatenate(
         [cols, jnp.zeros((g, _S_COLS - cols.shape[1]), jnp.int32)], axis=1)
@@ -1026,27 +1042,28 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         def _():
             prefetch(0, 0)
 
-        def process_window(wv, rel_r, rel_c, win, kmask):
-            """Sample every kind plane of one window's content block."""
+        def process_window(wv, s0, rel_r, rel_c, win, kmask):
+            """Sample every kind plane of one window over one pixel slab."""
             inwin = ((rel_r >= 0) & (rel_r < WIN_R) &
                      (rel_c >= 0) & (rel_c < WIN_C) & win)
             rel_c_s = jnp.where(inwin, rel_c, 0)
 
             @pl.when(jnp.any(inwin))
             def _():
-                mask_ref[:] = jnp.where(inwin, mask_ref[:] | kmask,
-                                        mask_ref[:])
+                msl = mask_ref[pl.ds(s0, _SLAB), :]
+                mask_ref[pl.ds(s0, _SLAB), :] = jnp.where(
+                    inwin, msl | kmask, msl)
                 for k in range(n_kinds):
                     kin = inwin & ((kmask >> k) & 1 > 0)
-                    acc = samp_ref[k, :, :]
+                    acc = samp_ref[k, pl.ds(s0, _SLAB), :]
                     for rr in range(WIN_R):
                         g = jnp.take_along_axis(
                             jnp.broadcast_to(wv[WIN_R * k + rr:
                                                WIN_R * k + rr + 1, :],
-                                             (TILE_H, TILE_W)),
+                                             (_SLAB, TILE_W)),
                             rel_c_s, axis=1)
                         acc = jnp.where(kin & (rel_r == rr), g, acc)
-                    samp_ref[k, :, :] = acc
+                    samp_ref[k, pl.ds(s0, _SLAB), :] = acc
 
         def body(k, _):
             buf = jax.lax.rem(k, 2)
@@ -1068,9 +1085,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                 def _():
                     spec_dma(buf, j, wb + j).wait()
 
-            win = tid_ref[:] == gid
-
-            @pl.when((kmask > 0) & jnp.any(win))
+            @pl.when(kmask > 0)
             def _():
                 th = sdata_ref[f, 5]
                 tw = sdata_ref[f, 6]
@@ -1078,65 +1093,88 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                 cbase = sdata_ref[f, 8]
                 thf = th.astype(jnp.float32)
                 twf = tw.astype(jnp.float32)
-                # Reference get_UV indexing (core.py:138-143), identical
-                # float ops to pipeline._wrap_index for bit-parity with the
-                # XLA gather path.
-                cf = jnp.trunc(jnp.clip(iu_ref[:], max=1.0) * (twf - 1.0))
-                col = (cf - twf * jnp.floor(cf / twf)).astype(jnp.int32)
-                rf = jnp.trunc((1.0 - jnp.clip(iv_ref[:], max=1.0))
-                               * (thf - 1.0))
-                row = (rf - thf * jnp.floor(rf / thf)).astype(jnp.int32)
 
-                # Tile texel footprint over winning pixels -> window range.
-                big = jnp.int32(2 ** 30)
-                trmin = jnp.min(jnp.where(win, row, big))
-                trmax = jnp.max(jnp.where(win, row, -big))
-                tcmin = jnp.min(jnp.where(win, col, big))
-                tcmax = jnp.max(jnp.where(win, col, -big))
-                # Straddle-corrected window-grid coordinates: row sits in
-                # window floor((row - rbase)/16) in unwrapped space; wrapped
-                # rows may be off by th — clamp covers it (visits then test
-                # texels exactly).
-                wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
-                wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
-                wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
-                wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
-                nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
+                # Pixel-row slabs covering the face's bbox within this tile:
+                # every per-visit vector op shrinks from the (64, 128) tile
+                # to a (16, 128) slab (2 VREGs), the dominant sampler cost.
+                ty0px = ty * TILE_H
+                r_lo = jnp.maximum(sdata_ref[f, 9] - ty0px, 0)
+                r_hi = jnp.minimum(sdata_ref[f, 10] - ty0px, TILE_H)
+                s_base = r_lo & ~7
+                n_slabs = (r_hi - s_base + _SLAB - 1) >> 4
 
-                def visit(v, carry):
-                    wr, wc = carry
-                    off = wr * nwc + wc
-                    # Window texel origin, wrapped into the texture (scalar
-                    # f32 floor-mod — no integer division on TPU); rel of
-                    # wrapped texel coords corrected by one texture period
-                    # where the window straddles the wrap seam.
-                    r0 = (rbase + (wr << 4)).astype(jnp.float32)
-                    c0 = (cbase + (wc << 7)).astype(jnp.float32)
-                    r0w = (r0 - thf * jnp.floor(r0 / thf)).astype(jnp.int32)
-                    c0w = (c0 - twf * jnp.floor(c0 / twf)).astype(jnp.int32)
-                    rel_r = row - r0w
-                    rel_r = rel_r + th * (rel_r < -(th - WIN_R))
-                    rel_c = col - c0w
-                    rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
+                def slab_body(si, _):
+                    s0 = jnp.minimum(s_base + si * _SLAB, TILE_H - _SLAB)
+                    win = tid_ref[pl.ds(s0, _SLAB), :] == gid
 
-                    @pl.when(off < wn_spec)
+                    @pl.when(jnp.any(win))
                     def _():
-                        process_window(spec[buf, off], rel_r, rel_c, win,
-                                       kmask)
+                        # Reference get_UV indexing (core.py:138-143),
+                        # identical float ops to pipeline._wrap_index for
+                        # bit-parity with the XLA gather path.
+                        iu_s = iu_ref[pl.ds(s0, _SLAB), :]
+                        iv_s = iv_ref[pl.ds(s0, _SLAB), :]
+                        cf = jnp.trunc(jnp.clip(iu_s, max=1.0) * (twf - 1.0))
+                        col = (cf - twf * jnp.floor(cf / twf)
+                               ).astype(jnp.int32)
+                        rf = jnp.trunc((1.0 - jnp.clip(iv_s, max=1.0))
+                                       * (thf - 1.0))
+                        row = (rf - thf * jnp.floor(rf / thf)
+                               ).astype(jnp.int32)
 
-                    @pl.when(off >= wn_spec)
-                    def _():
-                        dma = pltpu.make_async_copy(
-                            win_hbm.at[wb + off], sync, sem_sync)
-                        dma.start()
-                        dma.wait()
-                        process_window(sync[:], rel_r, rel_c, win, kmask)
+                        # Slab texel footprint (winning pixels) -> windows.
+                        big = jnp.int32(2 ** 30)
+                        trmin = jnp.min(jnp.where(win, row, big))
+                        trmax = jnp.max(jnp.where(win, row, -big))
+                        tcmin = jnp.min(jnp.where(win, col, big))
+                        tcmax = jnp.max(jnp.where(win, col, -big))
+                        wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
+                        wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
+                        wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
+                        wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
+                        nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
 
-                    wc2 = jnp.where(wc + 1 > wc1, wc0, wc + 1)
-                    wr2 = jnp.where(wc + 1 > wc1, wr + 1, wr)
-                    return (wr2, wc2)
+                        def visit(v, carry):
+                            wr, wc = carry
+                            off = wr * nwc + wc
+                            # Window texel origin, wrapped into the texture
+                            # (scalar f32 floor-mod — no integer division on
+                            # TPU); rel of wrapped texel coords corrected by
+                            # one texture period where the window straddles
+                            # the wrap seam.
+                            r0 = (rbase + (wr << 4)).astype(jnp.float32)
+                            c0 = (cbase + (wc << 7)).astype(jnp.float32)
+                            r0w = (r0 - thf * jnp.floor(r0 / thf)
+                                   ).astype(jnp.int32)
+                            c0w = (c0 - twf * jnp.floor(c0 / twf)
+                                   ).astype(jnp.int32)
+                            rel_r = row - r0w
+                            rel_r = rel_r + th * (rel_r < -(th - WIN_R))
+                            rel_c = col - c0w
+                            rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
 
-                jax.lax.fori_loop(0, nv, visit, (wr0, wc0))
+                            @pl.when(off < wn_spec)
+                            def _():
+                                process_window(spec[buf, off], s0, rel_r,
+                                               rel_c, win, kmask)
+
+                            @pl.when(off >= wn_spec)
+                            def _():
+                                dma = pltpu.make_async_copy(
+                                    win_hbm.at[wb + off], sync, sem_sync)
+                                dma.start()
+                                dma.wait()
+                                process_window(sync[:], s0, rel_r, rel_c,
+                                               win, kmask)
+
+                            wc2 = jnp.where(wc + 1 > wc1, wc0, wc + 1)
+                            wr2 = jnp.where(wc + 1 > wc1, wr + 1, wr)
+                            return (wr2, wc2)
+
+                        jax.lax.fori_loop(0, nv, visit, (wr0, wc0))
+                    return 0
+
+                jax.lax.fori_loop(0, n_slabs, slab_body, 0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
