@@ -481,11 +481,11 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     faces, attrs = _build_face_batch(cfg, dyn, cam_m, dbg_mvp,
                                      tris_idx=tris_idx)
 
-    # The Pallas tile-binned kernels are the production TPU path; the XLA
-    # streaming path remains for sharded rendering (row offsets) and as the
-    # portable oracle.
-    use_pallas = (cfg.backend == "pallas" and axis_tris is None
-                  and axis_rows is None)
+    # The Pallas tile-binned kernels are the production TPU path — single
+    # chip AND sharded (tile grids shift by row0; per-shard buffers merge
+    # with pmin/pmax/psum). The XLA streaming path is the portable oracle.
+    use_pallas = cfg.backend == "pallas"
+    sharded = axis_tris is not None or axis_rows is not None
 
     # The general shader gets its attributes forward-interpolated by the
     # kernel (G-buffer) — per-pixel table gathers are pathologically slow on
@@ -502,7 +502,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     samp = samp_mask = None
 
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
-    if use_gbuffer:
+    if use_gbuffer and not sharded:
         from tpu_renderer.ops.raster_pallas import (face_bins,
                                                     sample_textures_pallas,
                                                     visibility_gbuffer_pallas)
@@ -539,6 +539,40 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 faces, bins[:2], windows, tid, gbuffer[rp.GB_IU],
                 gbuffer[rp.GB_IV], local_height, width, n_kinds,
                 interpret=cfg.pallas_interpret)
+    elif use_pallas and sharded:
+        # Sharded Pallas: per-shard z/id kernels in global coordinates
+        # (bit-identical pixel math; tile grids shift by row0), buffers
+        # merged with XLA collectives over ICI.
+        from tpu_renderer.ops.raster_pallas import (face_bins, gbuffer_pallas,
+                                                    tidpass_pallas,
+                                                    visibility_pallas)
+        bins = face_bins(faces, local_height, width, row0=row0)
+        zb_local, tid_local = visibility_pallas(
+            faces, local_height, width, sign,
+            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
+            bins=bins[:2], row0=row0)
+        if axis_tris:
+            zb_sign = jax.lax.pmin(zb_local, axis_tris)
+            # Re-claim against the merged buffer (a shard's local winner can
+            # be beaten by another shard's geometry; non-z-writing faces can
+            # claim at depths the local buffer never reached), then
+            # last-wins across shard-major global ids.
+            tid = tidpass_pallas(
+                faces, zb_sign, local_height, width, sign,
+                with_debug=cfg.has_debug_camera,
+                interpret=cfg.pallas_interpret, bins=bins[:2], row0=row0)
+            tid = jax.lax.pmax(tid, axis_tris)
+        else:
+            zb_sign, tid = zb_local, tid_local
+        if use_gbuffer:
+            gbuffer = gbuffer_pallas(
+                faces, attrs, tid, local_height, width,
+                with_debug=cfg.has_debug_camera,
+                interpret=cfg.pallas_interpret, bins=bins[:2], row0=row0)
+            if axis_tris:
+                # Each pixel's channels come from exactly one shard (global
+                # ids are unique): zero-filled partials sum to the merge.
+                gbuffer = jax.lax.psum(gbuffer, axis_tris)
     elif use_pallas:
         from tpu_renderer.ops.raster_pallas import visibility_pallas
         zb_sign, tid = visibility_pallas(
@@ -547,15 +581,16 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     else:
         zb_sign = zbuffer_pass(faces, local_height, width, sign, cfg.chunk,
                                row0)
-    if axis_tris:
+    if axis_tris and not use_pallas:
         zb_sign = jax.lax.pmin(zb_sign, axis_tris)
     if not use_pallas:
         tid = visibility_pass(faces, zb_sign, local_height, width, sign,
                               cfg.chunk, row0)
-    if axis_tris:
-        # Last-wins across shards: ids are shard-major, so pmax picks the
-        # highest-id claimant among shards whose face passed the final z-test.
-        tid = jax.lax.pmax(tid, axis_tris)
+        if axis_tris:
+            # Last-wins across shards: ids are shard-major, so pmax picks the
+            # highest-id claimant among shards passing the final z-test.
+            tid = jax.lax.pmax(tid, axis_tris)
+    if axis_tris and not use_gbuffer:
         # Gather every shard's attributes so shading can index global ids.
         attrs = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis_tris).reshape(
@@ -565,25 +600,51 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
 
     if cfg.shadows:
         from tpu_renderer.ops.shadow import prepare_quads, shadow_stencil
-        if axis_tris:
+        if use_pallas:
+            from tpu_renderer.ops.raster_pallas import (pack_quads,
+                                                        stencil_pallas)
+            prepared = prepare_quads(cfg, dyn, cam_m, axis_name=axis_tris,
+                                     shard_idx=tris_idx)
+            if prepared is None:
+                stencil = jnp.zeros((local_height, width), jnp.int32)
+            else:
+                screen, counts, ok = prepared
+                if axis_tris:
+                    # Global quad list (silhouettes psum-combined inside
+                    # prepare_quads): each shard rasterizes an even slice,
+                    # partial stencils psum below.
+                    n_sh = jax.lax.axis_size(axis_tris)
+                    e_pad = (-screen.shape[0]) % n_sh
+                    if e_pad:
+                        from tpu_renderer.ops.shadow import QUAD_PMAX
+                        screen = jnp.concatenate(
+                            [screen,
+                             jnp.zeros((e_pad, QUAD_PMAX, 4), screen.dtype)])
+                        counts = jnp.concatenate(
+                            [counts, jnp.zeros(e_pad, counts.dtype)])
+                        ok = jnp.concatenate([ok, jnp.zeros(e_pad, bool)])
+                    size = screen.shape[0] // n_sh
+                    start = jax.lax.axis_index(axis_tris) * size
+                    screen = jax.lax.dynamic_slice_in_dim(screen, start,
+                                                          size, axis=0)
+                    counts = jax.lax.dynamic_slice_in_dim(counts, start,
+                                                          size, axis=0)
+                    ok = jax.lax.dynamic_slice_in_dim(ok, start, size, axis=0)
+                near = dyn["camera"]["near"]
+                far = dyn["camera"]["far"]
+                qdata, qi = pack_quads(screen, counts, ok, height, width,
+                                       near, far)
+                stencil = stencil_pallas(qdata, qi, zbuf, local_height,
+                                         width, sign, near, far,
+                                         interpret=cfg.pallas_interpret,
+                                         row0=row0)
+                if axis_tris:
+                    stencil = jax.lax.psum(stencil, axis_tris)
+        elif axis_tris:
             stencil = shadow_stencil(
                 cfg, dyn, cam_m, zbuf, row0=row0, axis_name=axis_tris,
                 shard_idx=tris_idx, quad_slice=None)
             stencil = jax.lax.psum(stencil, axis_tris)
-        elif use_pallas:
-            from tpu_renderer.ops.raster_pallas import (pack_quads,
-                                                        stencil_pallas)
-            prepared = prepare_quads(cfg, dyn, cam_m)
-            if prepared is None:
-                stencil = jnp.zeros((local_height, width), jnp.int32)
-            else:
-                near = dyn["camera"]["near"]
-                far = dyn["camera"]["far"]
-                qdata, qi = pack_quads(*prepared, local_height, width,
-                                       near, far)
-                stencil = stencil_pallas(qdata, qi, zbuf, local_height,
-                                         width, sign, near, far,
-                                         interpret=cfg.pallas_interpret)
         else:
             stencil = shadow_stencil(cfg, dyn, cam_m, zbuf, row0=row0)
     else:

@@ -62,7 +62,7 @@ def _cdiv(a, b):
 
 
 def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
-                   edge_coeffs=None):
+                   edge_coeffs=None, row0=0):
     """Tile/primitive intersection lists.
 
     bbox: (N, 4) int32 ceil'd clamped [x0, x1, y0, y1) windows; active: (N,).
@@ -75,6 +75,10 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
     maximum over the tile rectangle is >= 0 — exact convex-coverage pruning
     (the maximum of an affine function over a rectangle sits at a corner and
     separates per axis).
+
+    ``row0`` offsets the tile grid into the global frame for row-sharded
+    rendering: primitives stay in global coordinates (bit-identical math to
+    single-chip), only the tile windows shift.
     """
     n = bbox.shape[0]
     n_ty = _cdiv(height, tile_h)
@@ -85,14 +89,14 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
     b0, b1, b2, b3 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
     ov_x = ((b0[None, :] < (tx[:, None] + 1) * tile_w) &
             (b1[None, :] > tx[:, None] * tile_w))            # (T_x, N)
-    ov_y = ((b2[None, :] < (ty[:, None] + 1) * tile_h) &
-            (b3[None, :] > ty[:, None] * tile_h))            # (T_y, N)
+    ov_y = ((b2[None, :] < row0 + (ty[:, None] + 1) * tile_h) &
+            (b3[None, :] > row0 + ty[:, None] * tile_h))     # (T_y, N)
     overlap = (ov_y[:, None, :] & ov_x[None, :, :] &
                active[None, None, :])
     if edge_coeffs is not None:
         A, B, K, mask = edge_coeffs
         tx0 = (tx * tile_w).astype(jnp.float32)
-        ty0 = (ty * tile_h).astype(jnp.float32)
+        ty0 = (ty * tile_h).astype(jnp.float32) + row0
         x_part = tx0[:, None, None] * A + tile_w * jnp.maximum(A, 0)
         y_part = ty0[:, None, None] * B + tile_h * jnp.maximum(B, 0)
         cm = y_part[:, None] + x_part[None, :] + K[None, None]
@@ -228,7 +232,8 @@ def _pad_rows_to(a, mult, fill=0):
 FACE_CHUNK = 8192
 
 
-def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None):
+def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None,
+                  row0=0):
     """Per-chunk binning: counts (n_chunks, T), idx (n_chunks, T, chunk, 1)."""
     g = bbox.shape[0]
     n_chunks = g // chunk
@@ -239,13 +244,13 @@ def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None):
         if edge_coeffs is not None:
             ec = tuple(a[sl] for a in edge_coeffs)
         cnt, ix = bin_primitives(bbox[sl], valid[sl], height, width,
-                                 edge_coeffs=ec)
+                                 edge_coeffs=ec, row0=row0)
         counts.append(cnt)
         idx.append(ix)
     return jnp.stack(counts), jnp.stack(idx)[..., None]
 
 
-def face_bins(faces, height, width):
+def face_bins(faces, height, width, row0=0):
     """Shared tile/face intersection lists: (counts, idx, chunk).
 
     Computed once per frame and reused by the visibility/G-buffer kernel and
@@ -258,42 +263,48 @@ def face_bins(faces, height, width):
     counts, idx = _chunked_bins(
         _pad_rows_to(faces["bbox"], chunk),
         _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
-        chunk, edge_coeffs=coeffs)
+        chunk, edge_coeffs=coeffs, row0=row0)
     return counts, idx, chunk
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
                                    "interpret"))
 def visibility_pallas(faces, height, width, sign, with_debug=False,
-                      interpret=False):
+                      interpret=False, bins=None, row0=0):
     """Tile-binned visibility resolve. Returns (zbuf sign-space, tid).
 
     Face tables stream through the kernel in FACE_CHUNK slices (grid dim 2) so
     arbitrarily large meshes never exceed VMEM; the zbuf/tid output blocks are
     revisited across chunk steps (initialized at chunk 0) — the incremental
     claim is associative across chunks in face order.
+
+    ``row0`` (traced) shifts the tile grid into the global frame for
+    row-sharded rendering; pixel math stays in global coordinates, so shards
+    are bit-identical to the matching single-chip rows.
     """
     fdata, idata = pack_faces(faces, with_debug)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
     fdata = _pad_rows_to(fdata, chunk)
     idata = _pad_rows_to(idata, chunk)
-    coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], chunk),
-                                "sy": _pad_rows_to(faces["sy"], chunk)})
-    counts, idx = _chunked_bins(
-        _pad_rows_to(faces["bbox"], chunk),
-        _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
-        chunk, edge_coeffs=coeffs)
+    if bins is None:
+        counts, idx, _ = face_bins(faces, height, width, row0=row0)
+    else:
+        counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
+    # row0 rides as the last element of the scalar-prefetch counts vector.
+    counts1 = jnp.concatenate([counts.reshape(-1),
+                               jnp.asarray(row0, jnp.int32).reshape(1)])
 
     def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, zb_ref, tid_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
-        y0 = (ty * TILE_H).astype(jnp.float32)
+        row0k = counts_ref[n_chunks * n_ty * n_tx]
+        y0 = (ty * TILE_H + row0k).astype(jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
@@ -354,7 +365,7 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
             jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
         ],
         interpret=interpret,
-    )(counts.reshape(-1), idx, fdata, idata)
+    )(counts1, idx, fdata, idata)
     return zb[:height, :width], tid[:height, :width]
 
 
@@ -367,7 +378,7 @@ _QI_COLS = 8
 
 
 def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
-               near=None, far=None):
+               near=None, far=None, row0=0):
     """Quad/tile lists with exact convex-coverage and z-occlusion pruning.
 
     Extruded shadow quads are long screen-space slivers: their bbox (the
@@ -403,7 +414,7 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     B = -(px1 - sx) * fs                             # (E, 12) edge x-coef
     K = -(sx * A + sy * B)                           # constant term
 
-    ty0 = (jnp.arange(n_ty, dtype=jnp.float32) * TILE_H)
+    ty0 = (jnp.arange(n_ty, dtype=jnp.float32) * TILE_H) + row0
     tx0 = (jnp.arange(n_tx, dtype=jnp.float32) * TILE_W)
     # corner_max[t, e, i] over the tile rectangle, separably per axis.
     x_part = (tx0[:, None, None] * A + TILE_W * jnp.maximum(A, 0))  # (Tx,E,12)
@@ -423,8 +434,8 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     tyi = jnp.arange(n_ty)
     ov_x = ((b0[None, :] < (txi[:, None] + 1) * TILE_W) &
             (b1[None, :] > txi[:, None] * TILE_W))
-    ov_y = ((b2[None, :] < (tyi[:, None] + 1) * TILE_H) &
-            (b3[None, :] > tyi[:, None] * TILE_H))
+    ov_y = ((b2[None, :] < row0 + (tyi[:, None] + 1) * TILE_H) &
+            (b3[None, :] > row0 + tyi[:, None] * TILE_H))
     overlap = (covered & ov_y[:, None, :] & ov_x[None, :, :] &
                (qi[:, 5] > 0)[None, None, :])
 
@@ -510,7 +521,7 @@ def pack_quads(screen, counts, ok, height, width, near, far):
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "interpret"))
 def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
-                   interpret=False):
+                   interpret=False, row0=0):
     """Tile-binned signed stencil accumulation against the final z-buffer."""
     e0 = qdata.shape[0]
     chunk = min(FACE_CHUNK, -(-e0 // 128) * 128)
@@ -535,13 +546,13 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         sl = slice(c * chunk, (c + 1) * chunk)
         cnt, ix = _bin_quads(qdata[sl], qi[sl], height, width,
                              zmax_tiles=zmax_tiles, sign=sign,
-                             near=near, far=far)
+                             near=near, far=far, row0=row0)
         counts.append(cnt)
         idx.append(ix)
     counts = jnp.stack(counts)
     idx = jnp.stack(idx)[..., None]
-    zscal = jnp.stack([2.0 * near * far, far + near, far - near]
-                      ).astype(jnp.float32)
+    zscal = jnp.stack([2.0 * near * far, far + near, far - near,
+                       1.0 * row0]).astype(jnp.float32)
 
     def kernel(counts_ref, zscal_ref, idx_ref, qdata_ref, qi_ref, zb_ref,
                st_ref, ins_ref):
@@ -552,7 +563,7 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         nf2 = zscal_ref[0]
         fpn = zscal_ref[1]
         fmn = zscal_ref[2]
-        y0 = (ty * TILE_H).astype(jnp.float32)
+        y0 = (ty * TILE_H).astype(jnp.float32) + zscal_ref[3]
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
@@ -711,6 +722,92 @@ def pack_face_attrs(attrs):
     return jnp.concatenate(cols, axis=1)
 
 
+def _gb_interp_face(fdata_ref, f, X, rows, cols, put, with_tex_tables):
+    """Interpolate one face's G-buffer channels over a tile (phase-1 body).
+
+    Shared by the fused visibility+G-buffer kernel and the standalone
+    sharded G-buffer kernel. ``put(channel, value)`` applies the caller's
+    winner-masked write. Tangent/bitangent solve the reference's per-pixel
+    TBN system (core.py:191-224) in closed form via the adjugate.
+    """
+    # Screen barycentric (same math as _face_tile_cov).
+    sx0, sx1, sx2 = fdata_ref[f, 0], fdata_ref[f, 1], fdata_ref[f, 2]
+    sy0, sy1, sy2 = fdata_ref[f, 3], fdata_ref[f, 4], fdata_ref[f, 5]
+    v0x, v0y = sx1 - sx0, sy1 - sy0
+    v1x, v1y = sx2 - sx0, sy2 - sy0
+    d00 = v0x * v0x + v0y * v0y
+    d01 = v0x * v1x + v0y * v1y
+    d11 = v1x * v1x + v1y * v1y
+    inv_denom = 1.0 / (d00 * d11 - d01 * d01)
+    v2x = cols - sx0
+    v2y = rows - sy0
+    d20 = v2x * v0x + v2y * v0y
+    d21 = v2x * v1x + v2y * v1y
+    v = (d11 * d20 - d01 * d21) * inv_denom
+    w = (d00 * d21 - d01 * d20) * inv_denom
+    u = 1.0 - v - w
+    # Perspective-corrected weights (core.py:155-160).
+    iw0, iw1, iw2 = fdata_ref[f, 9], fdata_ref[f, 10], fdata_ref[f, 11]
+    su, sv, sw = u * iw0, v * iw1, w * iw2
+    inv_s = 1.0 / (su + sv + sw)
+    pb0, pb1, pb2 = su * inv_s, sv * inv_s, sw * inv_s
+
+    def interp(c0, c1, c2):
+        return pb0 * c0 + pb1 * c1 + pb2 * c2
+
+    # World position.
+    wx = [fdata_ref[f, X + i] for i in range(9)]
+    for ci in range(3):
+        put(GB_WORLD + ci, interp(wx[ci], wx[3 + ci], wx[6 + ci]))
+    # UV.
+    u0, u1, u2 = (fdata_ref[f, X + 9], fdata_ref[f, X + 10],
+                  fdata_ref[f, X + 11])
+    vv0, vv1, vv2 = (fdata_ref[f, X + 12], fdata_ref[f, X + 13],
+                     fdata_ref[f, X + 14])
+    put(GB_IU, interp(u0, u1, u2))
+    put(GB_IV, interp(vv0, vv1, vv2))
+    # Vertex normal.
+    nv = [fdata_ref[f, X + 15 + i] for i in range(9)]
+    n = [interp(nv[0], nv[3], nv[6]),
+         interp(nv[1], nv[4], nv[7]),
+         interp(nv[2], nv[5], nv[8])]
+    for ci in range(3):
+        put(GB_N + ci, n[ci])
+    # Tangent/bitangent via adjugate (du2 = dv2 = 0).
+    e1 = [wx[3] - wx[0], wx[4] - wx[1], wx[5] - wx[2]]
+    e2 = [wx[6] - wx[0], wx[7] - wx[1], wx[8] - wx[2]]
+    c0 = [e2[1] * n[2] - e2[2] * n[1],
+          e2[2] * n[0] - e2[0] * n[2],
+          e2[0] * n[1] - e2[1] * n[0]]
+    c1 = [n[1] * e1[2] - n[2] * e1[1],
+          n[2] * e1[0] - n[0] * e1[2],
+          n[0] * e1[1] - n[1] * e1[0]]
+    det = e1[0] * c0[0] + e1[1] * c0[1] + e1[2] * c0[2]
+    inv_det = 1.0 / det
+    du0, du1 = u1 - u0, u2 - u0
+    dv0, dv1 = vv1 - vv0, vv2 - vv0
+    for ci in range(3):
+        put(GB_TAN + ci, (c0[ci] * du0 + c1[ci] * du1) * inv_det)
+        put(GB_BIT + ci, (c0[ci] * dv0 + c1[ci] * dv1) * inv_det)
+    # Constant material channels.
+    for ci in range(3):
+        put(GB_KD + ci, fdata_ref[f, X + 24 + ci])
+        put(GB_KS + ci, fdata_ref[f, X + 27 + ci])
+    put(GB_NS, fdata_ref[f, X + 30])
+    if with_tex_tables:
+        # slots/shapes — only the XLA gather path reads them; the windowed
+        # sampler gets its per-face table from sdata instead.
+        for off in range(10):
+            if off == GB_NORM_SLOT + 3 - GB_KD_SLOT:
+                continue
+            put(GB_KD_SLOT + off, fdata_ref[f, X + 31 + off])
+    # Tangent flag + model id: read by shading on both paths.
+    put(GB_NORM_SLOT + 3,
+        fdata_ref[f, X + 31 + GB_NORM_SLOT + 3 - GB_KD_SLOT])
+    put(GB_MODEL, fdata_ref[f, X + 41])
+
+
+
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
                                    "interpret", "with_tex_tables"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
@@ -798,93 +895,12 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
                 @pl.when(jnp.any(win))
                 def _():
-                    # Screen barycentric (same math as _face_tile_cov).
-                    sx0, sx1, sx2 = (fdata_ref[f, 0], fdata_ref[f, 1],
-                                     fdata_ref[f, 2])
-                    sy0, sy1, sy2 = (fdata_ref[f, 3], fdata_ref[f, 4],
-                                     fdata_ref[f, 5])
-                    v0x, v0y = sx1 - sx0, sy1 - sy0
-                    v1x, v1y = sx2 - sx0, sy2 - sy0
-                    d00 = v0x * v0x + v0y * v0y
-                    d01 = v0x * v1x + v0y * v1y
-                    d11 = v1x * v1x + v1y * v1y
-                    inv_denom = 1.0 / (d00 * d11 - d01 * d01)
-                    v2x = cols - sx0
-                    v2y = rows - sy0
-                    d20 = v2x * v0x + v2y * v0y
-                    d21 = v2x * v1x + v2y * v1y
-                    v = (d11 * d20 - d01 * d21) * inv_denom
-                    w = (d00 * d21 - d01 * d20) * inv_denom
-                    u = 1.0 - v - w
-                    # Perspective-corrected weights (core.py:155-160).
-                    iw0, iw1, iw2 = (fdata_ref[f, 9], fdata_ref[f, 10],
-                                     fdata_ref[f, 11])
-                    su, sv, sw = u * iw0, v * iw1, w * iw2
-                    inv_s = 1.0 / (su + sv + sw)
-                    pb0, pb1, pb2 = su * inv_s, sv * inv_s, sw * inv_s
-
-                    def interp(c0, c1, c2):
-                        return pb0 * c0 + pb1 * c1 + pb2 * c2
-
                     def put(ch, val):
                         gb_ref[ch, :, :] = jnp.where(win, val,
                                                      gb_ref[ch, :, :])
 
-                    # World position.
-                    wx = [fdata_ref[f, X + i] for i in range(9)]
-                    for ci in range(3):
-                        put(GB_WORLD + ci,
-                            interp(wx[ci], wx[3 + ci], wx[6 + ci]))
-                    # UV.
-                    u0, u1, u2 = (fdata_ref[f, X + 9], fdata_ref[f, X + 10],
-                                  fdata_ref[f, X + 11])
-                    vv0, vv1, vv2 = (fdata_ref[f, X + 12],
-                                     fdata_ref[f, X + 13],
-                                     fdata_ref[f, X + 14])
-                    put(GB_IU, interp(u0, u1, u2))
-                    put(GB_IV, interp(vv0, vv1, vv2))
-                    # Vertex normal.
-                    nv = [fdata_ref[f, X + 15 + i] for i in range(9)]
-                    n = [interp(nv[0], nv[3], nv[6]),
-                         interp(nv[1], nv[4], nv[7]),
-                         interp(nv[2], nv[5], nv[8])]
-                    for ci in range(3):
-                        put(GB_N + ci, n[ci])
-                    # Tangent/bitangent via adjugate (du2 = dv2 = 0).
-                    e1 = [wx[3] - wx[0], wx[4] - wx[1], wx[5] - wx[2]]
-                    e2 = [wx[6] - wx[0], wx[7] - wx[1], wx[8] - wx[2]]
-                    c0 = [e2[1] * n[2] - e2[2] * n[1],
-                          e2[2] * n[0] - e2[0] * n[2],
-                          e2[0] * n[1] - e2[1] * n[0]]
-                    c1 = [n[1] * e1[2] - n[2] * e1[1],
-                          n[2] * e1[0] - n[0] * e1[2],
-                          n[0] * e1[1] - n[1] * e1[0]]
-                    det = e1[0] * c0[0] + e1[1] * c0[1] + e1[2] * c0[2]
-                    inv_det = 1.0 / det
-                    du0, du1 = u1 - u0, u2 - u0
-                    dv0, dv1 = vv1 - vv0, vv2 - vv0
-                    for ci in range(3):
-                        put(GB_TAN + ci,
-                            (c0[ci] * du0 + c1[ci] * du1) * inv_det)
-                        put(GB_BIT + ci,
-                            (c0[ci] * dv0 + c1[ci] * dv1) * inv_det)
-                    # Constant material channels.
-                    for ci in range(3):
-                        put(GB_KD + ci, fdata_ref[f, X + 24 + ci])
-                        put(GB_KS + ci, fdata_ref[f, X + 27 + ci])
-                    put(GB_NS, fdata_ref[f, X + 30])
-                    if with_tex_tables:
-                        # slots/shapes — only the XLA gather path reads
-                        # them; the windowed sampler gets its per-face
-                        # table from sdata instead.
-                        for off in range(10):
-                            if off == GB_NORM_SLOT + 3 - GB_KD_SLOT:
-                                continue
-                            put(GB_KD_SLOT + off, fdata_ref[f, X + 31 + off])
-                    # Tangent flag + model id: read by shading on both paths.
-                    put(GB_NORM_SLOT + 3,
-                        fdata_ref[f, X + 31 + GB_NORM_SLOT + 3 - GB_KD_SLOT])
-                    put(GB_MODEL, fdata_ref[f, X + 41])
+                    _gb_interp_face(fdata_ref, f, X, rows, cols, put,
+                                    with_tex_tables)
                 return 0
 
             jax.lax.fori_loop(0, count, gbody, 0)
@@ -1220,3 +1236,192 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         interpret=interpret,
     )(counts.reshape(-1), idx, sdata, windows, tid_p, iu_p, iv_p)
     return samp[:, :height, :width], mask[:height, :width]
+
+# ------------------------------------------------------ sharded-mode kernels
+
+@partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
+                                   "interpret"))
+def tidpass_pallas(faces, zb_final_sign, height, width, sign,
+                   with_debug=False, interpret=False, bins=None, row0=0):
+    """Winning face ids against a GIVEN final z-buffer (sign space).
+
+    The sharded-mode id pass (mirrors raster_xla.visibility_pass): after
+    per-shard z-buffers pmin-merge over the tris axis, every local face
+    re-claims pixels where coverage and the final-z test pass; later faces
+    overwrite. Needed because a shard's incremental local winner can be
+    invalidated by another shard's closer geometry (and non-z-writing faces
+    can claim at depths their local buffer never reached).
+    """
+    fdata, idata = pack_faces(faces, with_debug)
+    g0 = fdata.shape[0]
+    chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
+    fdata = _pad_rows_to(fdata, chunk)
+    idata = _pad_rows_to(idata, chunk)
+    if bins is None:
+        counts, idx, _ = face_bins(faces, height, width, row0=row0)
+    else:
+        counts, idx = bins
+    n_chunks = fdata.shape[0] // chunk
+    n_ty = _cdiv(height, TILE_H)
+    n_tx = _cdiv(width, TILE_W)
+    hp, wp = n_ty * TILE_H, n_tx * TILE_W
+    zb_pad = jnp.full((hp, wp), jnp.inf, jnp.float32)
+    zb_pad = zb_pad.at[:height, :width].set(zb_final_sign)
+    counts1 = jnp.concatenate([counts.reshape(-1),
+                               jnp.asarray(row0, jnp.int32).reshape(1)])
+
+    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, zb_ref, tid_ref):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        c = pl.program_id(2)
+        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
+        row0k = counts_ref[n_chunks * n_ty * n_tx]
+        y0 = (ty * TILE_H + row0k).astype(jnp.float32)
+        x0 = (tx * TILE_W).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
+
+        @pl.when(c == 0)
+        def _():
+            tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+
+        def body(k, _):
+            f = idx_ref[0, 0, k, 0]
+            flags = idata_ref[f, 4]
+            cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
+                                    with_clip=True)
+            cov &= _window_mask(idata_ref, f, rows, cols)
+            cov &= (flags & 1) > 0
+            upd = cov & (zb_ref[:] >= z * sign)
+            tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ty, n_tx, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, 1),
+                         lambda ty, tx, c, s: (c, ty * n_tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, fdata.shape[1]),
+                         lambda ty, tx, c, s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _I_COLS), lambda ty, tx, c, s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (tid,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts1, idx, fdata, idata, zb_pad)
+    return tid[:height, :width]
+
+
+@partial(jax.jit, static_argnames=("height", "width", "with_debug",
+                                   "interpret", "with_tex_tables"))
+def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
+                   interpret=False, bins=None, row0=0, with_tex_tables=True):
+    """G-buffer interpolation against a GIVEN (merged) visibility buffer.
+
+    Sharded mode: each tris-shard interpolates only the faces it owns; a
+    pixel's channels are written by exactly one shard (global face ids are
+    unique), so zero-initialized partial G-buffers combine with a plain psum
+    over the tris axis. Returns (GB_CHANNELS, H, W) float32.
+    """
+    fdata0, idata = pack_faces(faces, with_debug)
+    X = fdata0.shape[1]
+    fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
+    g0 = fdata.shape[0]
+    chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
+    fdata = _pad_rows_to(fdata, chunk)
+    idata = _pad_rows_to(idata, chunk)
+    if bins is None:
+        counts, idx, _ = face_bins(faces, height, width, row0=row0)
+    else:
+        counts, idx = bins
+    n_chunks = fdata.shape[0] // chunk
+    n_ty = _cdiv(height, TILE_H)
+    n_tx = _cdiv(width, TILE_W)
+    hp, wp = n_ty * TILE_H, n_tx * TILE_W
+    tid_p = jnp.pad(tid, ((0, hp - tid.shape[0]), (0, wp - tid.shape[1])),
+                    constant_values=-1)
+    counts1 = jnp.concatenate([counts.reshape(-1),
+                               jnp.asarray(row0, jnp.int32).reshape(1)])
+
+    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, tid_ref, gb_ref):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        c = pl.program_id(2)
+        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
+        row0k = counts_ref[n_chunks * n_ty * n_tx]
+        y0 = (ty * TILE_H + row0k).astype(jnp.float32)
+        x0 = (tx * TILE_W).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
+
+        @pl.when(c == 0)
+        def _():
+            gb_ref[:] = jnp.zeros((GB_CHANNELS, TILE_H, TILE_W), jnp.float32)
+
+        def gbody(k, _):
+            f = idx_ref[0, 0, k, 0]
+            gid = idata_ref[f, 5]
+            win = tid_ref[:] == gid
+
+            @pl.when(jnp.any(win))
+            def _():
+                def put(ch, val):
+                    gb_ref[ch, :, :] = jnp.where(win, val, gb_ref[ch, :, :])
+
+                _gb_interp_face(fdata_ref, f, X, rows, cols, put,
+                                with_tex_tables)
+            return 0
+
+        jax.lax.fori_loop(0, count, gbody, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ty, n_tx, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, 1),
+                         lambda ty, tx, c, s: (c, ty * n_tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, fdata.shape[1]),
+                         lambda ty, tx, c, s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, _I_COLS), lambda ty, tx, c, s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((GB_CHANNELS, TILE_H, TILE_W),
+                         lambda ty, tx, c, s: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (gb,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((GB_CHANNELS, hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts1, idx, fdata, idata, tid_p)
+    return gb[:, :height, :width]
