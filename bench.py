@@ -74,17 +74,32 @@ def main():
     # Compile + warm (the orbit is a traced argument: no recompiles).
     np.asarray(step(dyn, positions[0]))
 
+    # Correctness at bench scale: the Pallas path must match the portable
+    # XLA oracle on this exact 1024^2 frame (>= 99.99% identical pixels).
+    import dataclasses
+
+    cfg_x = dataclasses.replace(cfg, backend="xla", tex_kernel=False)
+    f_pallas = np.asarray(step(dyn, positions[0]))
+    f_xla = np.asarray(jax.jit(
+        lambda d: render_frame(cfg_x, dict(
+            d, camera=dict(d["camera"], position=positions[0])))[0])(dyn))
+    pallas_xla_match = float((f_pallas == f_xla).all(axis=-1).mean())
+
     # Device throughput: pipeline every frame, sync once at the end. This is
     # the renderer's frame rate; the development environment reaches the TPU
     # through a network tunnel whose per-sync latency (~30 ms) and ~28 MB/s
     # download bandwidth would otherwise dominate the measurement. The TPU is
-    # time-shared (±40% run-to-run contention), so take the best of 3 rounds.
-    dt_throughput = float("inf")
+    # time-shared (±40% run-to-run contention): best-of-3 approximates
+    # uncontended device time, the median is the trustworthy round-over-round
+    # comparator.
+    rounds = []
     for _ in range(3):
         t0 = time.time()
         frames = [step(dyn, positions[i]) for i in range(n_frames)]
         last = np.asarray(frames[-1])
-        dt_throughput = min(dt_throughput, (time.time() - t0) / n_frames)
+        rounds.append((time.time() - t0) / n_frames)
+    dt_throughput = min(rounds)
+    dt_median = sorted(rounds)[len(rounds) // 2]
 
     # End-to-end: every frame downloaded to host (includes tunnel transfer).
     t0 = time.time()
@@ -107,9 +122,11 @@ def main():
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        "median_fps": round(1.0 / dt_median, 3),
         "mtri_per_s": round(mtri_s, 3),
         "frames": n_frames,
         "e2e_fps_with_host_download": round(1.0 / dt_e2e, 3),
+        "pallas_xla_match": round(pallas_xla_match, 6),
     }
     print(json.dumps(result))
     return last

@@ -142,3 +142,20 @@ def test_golden_backface_culling(reference):
     ref = _build_reference(reference, LIGHT_KW, cam, textures=False,
                            light_type=tr.Lightning.DIRECTIONAL_LIGHTNING).render()
     compare(ours, ref, "backface")
+
+
+@pytest.mark.slow
+def test_golden_production_512_textured_shadowed(reference):
+    """Production-resolution fidelity: 512^2 textured diablo with shadows vs
+    the executed oracle, with the windowed texture sampler FORCED on — pins
+    the bench-scale path (tile boundaries, chunk streaming, window coverage)
+    that the 160^2 goldens cannot exercise."""
+    scene = _build_ours(LIGHT_KW, CAM_KW, textures=True,
+                        light_type=tr.Lightning.POINT_LIGHTNING,
+                        resolution=(512, 512))
+    scene.tex_kernel = True
+    ours = scene.render()
+    ref = _build_reference(reference, LIGHT_KW, CAM_KW, textures=True,
+                           light_type=tr.Lightning.POINT_LIGHTNING,
+                           resolution=(512, 512)).render()
+    compare(ours, ref, "production_512")

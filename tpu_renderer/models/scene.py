@@ -211,6 +211,9 @@ class Scene:
         #: 'pallas' (tile-binned TPU kernels), 'xla' (portable streaming
         #: path), or None = auto: pallas on TPU, xla elsewhere.
         self.backend = backend
+        #: Windowed in-kernel texture sampling: True/False, or None = auto
+        #: (on past 512^2, where it beats the XLA per-pixel gather).
+        self.tex_kernel = None
         #: Draw the debug camera's frustum wireframe like the reference
         #: (core.py:638) whenever a debug camera is present.
         self.debug_overlay = True
@@ -456,6 +459,7 @@ class Scene:
 
         cfg = SceneConfig(
             backend=backend,
+            tex_kernel=self.tex_kernel,
             pallas_interpret=backend == "pallas" and not on_tpu,
             resolution=resolution or self.resolution, system=self.system,
             subsystem=self.subsystem, shadows=self.shadows,
