@@ -64,17 +64,24 @@ class CubeMap:
                                          jnp.asarray(vectors, jnp.float32)))
 
     def as_device_arrays(self):
-        return {"textures": jnp.asarray(self.textures)}
+        # RGB packed into one u32 texel: a single-element gather is ~15x
+        # cheaper than an f32[..., 3] slice gather on TPU, and the sources
+        # are 8-bit images so u8 quantization reconstructs exactly.
+        q = np.round(self.textures * 255).astype(np.uint32)
+        packed = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+        return {"textures": jnp.asarray(self.textures),
+                "packed": jnp.asarray(packed)}
 
 
-def sample_cubemap(textures, vectors):
-    """Sample a (6, T, T, 3) cubemap with (..., 3) direction vectors.
+def cubemap_index(t, vectors):
+    """Direction -> (side, iu, iv) cubemap texel index.
 
     Major-axis face selection and UV normalization matching the reference's
     ``__getitem__`` (cube_map.py:63-80), including its ``* T - 1`` index scale
     (0 maps to texel -1, wrapping to the last row/column) and truncating cast.
+    The -1 wrap uses a conditional add instead of an integer ``%`` (integer
+    div/mod is a per-element scalar loop on TPU).
     """
-    t = textures.shape[1]
     ax, ay, az = vectors[..., 0], vectors[..., 1], vectors[..., 2]
     major = jnp.argmax(jnp.abs(vectors), axis=-1)
     amp = jnp.take_along_axis(vectors, major[..., None], axis=-1)[..., 0]
@@ -87,9 +94,27 @@ def sample_cubemap(textures, vectors):
     nu = (u / amp + 1) / 2
     nv = (v / amp + 1) / 2
     side = (amp < 0).astype(jnp.int32) + major * 2
-    iu = (nu * t - 1).astype(jnp.int32) % t
-    iv = (nv * t - 1).astype(jnp.int32) % t
+    iu = (nu * t - 1).astype(jnp.int32)
+    iv = (nv * t - 1).astype(jnp.int32)
+    iu = jnp.where(iu < 0, iu + t, iu)
+    iv = jnp.where(iv < 0, iv + t, iv)
+    return side, iu, iv
+
+
+def sample_cubemap(textures, vectors):
+    """Sample a (6, T, T, 3) cubemap with (..., 3) direction vectors."""
+    side, iu, iv = cubemap_index(textures.shape[1], vectors)
     return textures[side, iu, iv]
+
+
+def sample_cubemap_packed(packed, vectors):
+    """Sample a (6, T, T) u32-packed cubemap: one gather + unpack."""
+    side, iu, iv = cubemap_index(packed.shape[1], vectors)
+    texel = packed[side, iu, iv]
+    r = (texel & 0xFF).astype(jnp.float32)
+    g = ((texel >> 8) & 0xFF).astype(jnp.float32)
+    b = ((texel >> 16) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b], axis=-1) / 255.0
 
 
 def _corner_barycentric(corners_xy, height, width, row0=0):
@@ -127,21 +152,31 @@ def fill_frame_from_skybox(skybox, cam_m, resolution, row0=0):
     Returns (H, W, 3) float32.
     """
     height, width = resolution
-    textures = skybox["textures"]
     faces = jnp.asarray(NDC_FACES)
 
     # Rotation-only view (the reference zeroes lookat's translation row).
     view_rot = cam_m["lookat"].at[3, :3].set(0.0)
     inv_vp = jnp.linalg.inv(matmul(view_rot, cam_m["projection"]))
 
-    frame = jnp.zeros((height, width, 3), jnp.float32)
+    # The two NDC triangles partition the frame: select each pixel's ray
+    # first (second triangle wins on the shared diagonal, like the
+    # reference's sequential overwrite), then sample the cubemap ONCE —
+    # gathers dominate this fill, and the u32-packed single-element gather
+    # is ~15x cheaper than an f32[..., 3] slice gather per pixel.
+    dirs, covers = [], []
     for i in range(2):
         face = faces[i]
         screen = matmul(face, cam_m["viewport"])
         bar, cover = _corner_barycentric(screen[:, :2], height, width, row0)
         rays = matmul(face, inv_vp)
         rays = rays / rays[:, 3:4]
-        ray_dirs = jnp.einsum("hwk,kc->hwc", bar, rays[:, :3])
-        sampled = sample_cubemap(textures, ray_dirs)
-        frame = jnp.where(cover[..., None], sampled, frame)
-    return frame
+        dirs.append(jnp.einsum("hwk,kc->hwc", bar, rays[:, :3]))
+        covers.append(cover)
+    ray_dirs = jnp.where(covers[1][..., None], dirs[1], dirs[0])
+    covered = covers[0] | covers[1]
+
+    if "packed" in skybox:
+        sampled = sample_cubemap_packed(skybox["packed"], ray_dirs)
+    else:
+        sampled = sample_cubemap(skybox["textures"], ray_dirs)
+    return jnp.where(covered[..., None], sampled, 0.0)
