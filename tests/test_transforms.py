@@ -76,9 +76,14 @@ def test_perspectives_registry_shape(reference):
     for sub in (SUBSYSTEM.DIRECTX, SUBSYSTEM.OPENGL):
         for proj in (PROJECTION_TYPE.PERSPECTIVE, PROJECTION_TYPE.ORTHOGRAPHIC):
             assert set(T.perspectives[sub][proj]) == set(ref[sub][proj])
-    # Missing combo raises KeyError, like transformation.py:351.
+    # Missing combos raise KeyError, like transformation.py:351: DirectX has
+    # no orthographic entry in either handedness.
     with pytest.raises(KeyError):
         T.perspectives[SUBSYSTEM.DIRECTX][PROJECTION_TYPE.ORTHOGRAPHIC][SYSTEM.LH]
+    with pytest.raises(KeyError):
+        T.perspectives[SUBSYSTEM.DIRECTX][PROJECTION_TYPE.ORTHOGRAPHIC][SYSTEM.RH]
+    with pytest.raises(KeyError):
+        T.perspectives[SUBSYSTEM.OPENGL][PROJECTION_TYPE.ORTHOGRAPHIC][SYSTEM.RH]
 
 
 def test_multipoint_perspectives(reference):

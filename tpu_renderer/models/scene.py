@@ -532,14 +532,30 @@ class Scene:
     def stats(self):
         """Per-model render statistics from the last render() — the batched
         equivalent of the reference's per-face Errors printout
-        (core.py:634-636). Returns a list of dicts of ints."""
+        (core.py:634-636). Returns a list of dicts of ints; each dict also
+        carries ``by_error``, the same discard counters keyed by the
+        reference's :class:`tpu_renderer.Errors` flags (triangular.py:15-20).
+        """
         if self.last_tid is None:
             raise RuntimeError("render() must run before stats()")
+        from tpu_renderer.ops.errors import Errors
         from tpu_renderer.ops.pipeline import face_statistics
 
         cfg, dyn = self._prepare()
         raw = face_statistics(cfg, dyn, jnp.asarray(self.last_tid))
-        return [{k: int(v) for k, v in s.items()} for s in raw]
+        out = []
+        for s in raw:
+            d = {k: int(v) for k, v in s.items()}
+            d["by_error"] = {
+                Errors.BACK_FACE_CULLING: d["backface_culled"],
+                Errors.EMPTY_B: d["degenerate"],
+                Errors.WRONG_MIN_MAX: d["offscreen"],
+                # Fragment-level discards collapse in the batched pipeline
+                # (pipeline.face_statistics).
+                Errors.CLIPPED | Errors.EMPTY_Z: d["occluded_or_clipped"],
+            }
+            out.append(d)
+        return out
 
     def _render_debug_shader(self, cfg, dyn) -> np.ndarray:
         """Wireframe / points shaders (reference triangular.py:269-283): line

@@ -18,6 +18,11 @@ Parity map (reference transformation.py):
   opengl_perspectiveRH:168  directx_perspectiveRH:179  directx_perspectiveLH:193
   FPSViewRH:266  perspective_matrix_3point:294  perspective_matrix_2point:314
   perspectives registry:346  barycentric:12  bound_box:35  normalize:46
+
+``lookAtLH``/``lookAtRH``, ``FPSViewRH`` and the 2/3-point perspectives are
+functions the reference exports but never calls itself; they are kept
+DELIBERATELY as drop-in API surface for reference users (each oracle-tested
+in tests/test_transforms.py), not as pipeline dependencies.
 """
 from __future__ import annotations
 
