@@ -411,6 +411,33 @@ class Scene:
         self._packets[key] = packet
         return packet
 
+    def _windows_all(self, packets):
+        """Scene-wide texel-window table for the in-kernel sampler: each
+        model's window block row-padded to the scene's kind count and
+        concatenated, in model order (window ids are global). Assembled once
+        per packet set — the content is static, and re-padding ~10k windows
+        inside the frame program costs ~0.5 ms."""
+        n_kinds = max((len(p["_config"].win_kinds) for p in packets),
+                      default=0)
+        if n_kinds == 0:
+            return None
+        key = tuple(id(p.get("windows")) for p in packets) + (n_kinds,)
+        cached = getattr(self, "_windows_all_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        parts = []
+        for p in packets:
+            if not p["_config"].win_kinds:
+                continue
+            w = p["windows"]
+            if w.shape[1] < _WIN_R * n_kinds:
+                w = jnp.pad(
+                    w, ((0, 0), (0, _WIN_R * n_kinds - w.shape[1]), (0, 0)))
+            parts.append(w)
+        out = jnp.concatenate(parts, axis=0) if parts else None
+        self._windows_all_cache = (key, out)
+        return out
+
     @staticmethod
     def _cam_dyn(cam) -> dict:
         return {
@@ -478,6 +505,9 @@ class Scene:
             "camera": self._cam_dyn(self.camera),
             "light": self._light_dyn(),
         }
+        wa = self._windows_all(packets)
+        if wa is not None:
+            dyn["windows_all"] = wa
         if self.debug_camera is not None:
             dyn["debug_camera"] = self._cam_dyn(self.debug_camera)
         if background == "color":

@@ -524,17 +524,23 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             bins=bins[:2], with_tex_tables=needs_tables)
         if sampler_on:
             # Window content blocks, row-padded to the scene-wide kind count
-            # (models carry 16 rows per kind they sample).
-            parts = []
-            for mc, md in zip(cfg.models, dyn["models"]):
-                if not mc.win_kinds:
-                    continue
-                w = md["windows"]
-                if w.shape[1] < 16 * n_kinds:
-                    w = jnp.pad(
-                        w, ((0, 0), (0, 16 * n_kinds - w.shape[1]), (0, 0)))
-                parts.append(w)
-            windows = jnp.concatenate(parts, axis=0)
+            # (models carry 16 rows per kind they sample). Scene._prepare
+            # pre-assembles the concatenation (static content — re-padding it
+            # per frame costs ~0.5 ms at diablo scale); assemble inline only
+            # for direct render_core callers.
+            windows = dyn.get("windows_all")
+            if windows is None:
+                parts = []
+                for mc, md in zip(cfg.models, dyn["models"]):
+                    if not mc.win_kinds:
+                        continue
+                    w = md["windows"]
+                    if w.shape[1] < 16 * n_kinds:
+                        w = jnp.pad(
+                            w, ((0, 0), (0, 16 * n_kinds - w.shape[1]),
+                                (0, 0)))
+                    parts.append(w)
+                windows = jnp.concatenate(parts, axis=0)
             samp, samp_mask = sample_textures_pallas(
                 faces, bins[:2], windows, tid, gbuffer[rp.GB_IU],
                 gbuffer[rp.GB_IV], local_height, width, n_kinds,
@@ -608,7 +614,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             if prepared is None:
                 stencil = jnp.zeros((local_height, width), jnp.int32)
             else:
-                screen, counts, ok = prepared
+                screen, counts, ok, n_sil, sil_cap = prepared
                 if axis_tris:
                     # Global quad list (silhouettes psum-combined inside
                     # prepare_quads): each shard rasterizes an even slice,
@@ -632,12 +638,29 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                     ok = jax.lax.dynamic_slice_in_dim(ok, start, size, axis=0)
                 near = dyn["camera"]["near"]
                 far = dyn["camera"]["far"]
-                qdata, qi = pack_quads(screen, counts, ok, height, width,
-                                       near, far)
-                stencil = stencil_pallas(qdata, qi, zbuf, local_height,
-                                         width, sign, near, far,
-                                         interpret=cfg.pallas_interpret,
-                                         row0=row0)
+
+                def _stencil_for(scr, cnt, okk):
+                    qdata, qi = pack_quads(scr, cnt, okk, height, width,
+                                           near, far)
+                    return stencil_pallas(qdata, qi, zbuf, local_height,
+                                          width, sign, near, far,
+                                          interpret=cfg.pallas_interpret,
+                                          row0=row0)
+
+                if axis_tris is None and sil_cap is not None:
+                    # prepare_quads compacted silhouettes into rows [:cap]
+                    # whenever n_sil <= cap: pack + bin + rasterize only that
+                    # prefix (the quad table is ~5x the silhouette count, and
+                    # binning/packing cost scales with rows). The full-table
+                    # branch covers pathological frames.
+                    stencil = jax.lax.cond(
+                        n_sil <= sil_cap,
+                        lambda _: _stencil_for(screen[:sil_cap],
+                                               counts[:sil_cap],
+                                               ok[:sil_cap]),
+                        lambda _: _stencil_for(screen, counts, ok), None)
+                else:
+                    stencil = _stencil_for(screen, counts, ok)
                 if axis_tris:
                     stencil = jax.lax.psum(stencil, axis_tris)
         elif axis_tris:

@@ -406,10 +406,13 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     nverts = qi[:, 4]
     fs = jnp.where(qi[:, 6] > 0, 1.0, -1.0)[:, None]
 
+    # Next-vertex lookup: roll-by-one with a wrap back to vertex 0 at the
+    # polygon's end. Elementwise (roll + where) — a take_along_axis here is a
+    # per-element XLA gather, ~1.5 ms per frame at diablo scale.
     slots = jnp.arange(12)[None, :]
-    nxt = jnp.where(slots + 1 >= nverts[:, None], 0, slots + 1)
-    px1 = jnp.take_along_axis(sx, nxt, axis=1)
-    py1 = jnp.take_along_axis(sy, nxt, axis=1)
+    wrap = slots + 1 >= nverts[:, None]
+    px1 = jnp.where(wrap, sx[:, 0:1], jnp.roll(sx, -1, axis=1))
+    py1 = jnp.where(wrap, sy[:, 0:1], jnp.roll(sy, -1, axis=1))
     A = (py1 - sy) * fs                              # (E, 12) edge y-coef
     B = -(px1 - sx) * fs                             # (E, 12) edge x-coef
     K = -(sx * A + sy * B)                           # constant term

@@ -183,9 +183,13 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
 def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
     """Silhouette -> extruded quads -> world clip -> screen projection.
 
-    Returns (screen (E, QUAD_PMAX, 4), counts (E,), ok (E,)) or None when no
-    model casts shadows. Shared by the XLA scan rasterizer below and the
-    Pallas stencil kernel (ops/raster_pallas.py).
+    Returns (screen (E, QUAD_PMAX, 4), counts (E,), ok (E,), n_sil, cap) or
+    None when no model casts shadows; ``n_sil`` is the traced silhouette
+    count and ``cap`` the static compaction capacity (silhouette rows live in
+    ``screen[:cap]`` whenever ``n_sil <= cap``; None when compaction didn't
+    apply). Shared by the XLA scan rasterizer below and the Pallas stencil
+    kernel (ops/raster_pallas.py), which uses (n_sil, cap) to run its
+    binning + rasterization on the compact prefix.
     """
     light = dyn["light"]
     quads, flags = [], []
@@ -208,13 +212,13 @@ def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
     e_total = quad.shape[0]
 
     # Compact to silhouette edges before the expensive clip/project stages.
-    # Typical silhouettes are ~15-25% of unique edges; the capacity covers a
-    # third, with a conditional full-list fallback for pathological frames —
-    # lax.cond executes only the taken branch on TPU.
+    # Typical silhouettes are ~15-25% of unique edges; a fifth covers normal
+    # frames, a third the heavy ones, with a conditional full-list fallback
+    # for pathological geometry — lax.cond executes only the taken branch.
     cap = max(64, -(-e_total // 3 // 64) * 64)
+    n_sil = sil.sum()
     if axis_name is None and cap < e_total:
         order = jnp.argsort(~sil, stable=True)
-        n_sil = sil.sum()
 
         def _prep(quad_sel, sil_sel):
             padded = jnp.zeros((quad_sel.shape[0], QUAD_PMAX, 4), jnp.float32)
@@ -228,20 +232,32 @@ def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
             screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
             return screen, counts, ok
 
-        def compact_path(_):
-            sel = order[:cap]
-            screen, counts, ok = _prep(quad[sel], sil[sel])
-            # Pad back to the full-size layout so both cond branches match.
-            pad = e_total - cap
-            return (jnp.concatenate(
-                        [screen, jnp.zeros((pad, QUAD_PMAX, 4), screen.dtype)]),
-                    jnp.concatenate([counts, jnp.zeros(pad, counts.dtype)]),
-                    jnp.concatenate([ok, jnp.zeros(pad, bool)]))
+        def compact_path(cap_k):
+            def path(_):
+                sel = order[:cap_k]
+                screen, counts, ok = _prep(quad[sel], sil[sel])
+                # Pad back to the full-size layout so the cond branches match.
+                pad = e_total - cap_k
+                return (jnp.concatenate(
+                            [screen,
+                             jnp.zeros((pad, QUAD_PMAX, 4), screen.dtype)]),
+                        jnp.concatenate([counts, jnp.zeros(pad, counts.dtype)]),
+                        jnp.concatenate([ok, jnp.zeros(pad, bool)]))
+            return path
 
         def full_path(_):
             return _prep(quad, sil)
 
-        return jax.lax.cond(n_sil <= cap, compact_path, full_path, None)
+        cap1 = max(64, -(-e_total // 5 // 64) * 64)
+        if cap1 < cap:
+            screen, counts, ok = jax.lax.cond(
+                n_sil <= cap1, compact_path(cap1),
+                lambda _: jax.lax.cond(n_sil <= cap, compact_path(cap),
+                                       full_path, None), None)
+        else:
+            screen, counts, ok = jax.lax.cond(
+                n_sil <= cap, compact_path(cap), full_path, None)
+        return screen, counts, ok, n_sil, cap
 
     padded = jnp.zeros((e_total, QUAD_PMAX, 4), jnp.float32)
     padded = padded.at[:, :4].set(quad)
@@ -254,7 +270,7 @@ def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
     # Project to screen: MVP -> /w -> viewport (triangular.py:325-327).
     ndc = matmul(clipped, cam_m["MVP"])
     screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
-    return screen, counts, ok
+    return screen, counts, ok, n_sil, None
 
 
 def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
@@ -278,7 +294,7 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
     prepared = prepare_quads(cfg, dyn, cam_m, axis_name, shard_idx)
     if prepared is None:
         return jnp.zeros((local_height, width), jnp.int32)
-    screen, counts, ok = prepared
+    screen, counts, ok = prepared[:3]
 
     if axis_name is not None and quad_slice is None:
         # Triangle-sharded mode: every shard sees the same global quad list
