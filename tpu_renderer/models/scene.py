@@ -434,7 +434,14 @@ class Scene:
                 w = jnp.pad(
                     w, ((0, 0), (0, _WIN_R * n_kinds - w.shape[1]), (0, 0)))
             parts.append(w)
-        out = jnp.concatenate(parts, axis=0) if parts else None
+        if parts:
+            # _SPEC rows of tail padding: the sampler kernel prefetches each
+            # face's speculative window set as one contiguous block DMA.
+            from tpu_renderer.ops.raster_pallas import _SPEC
+            parts.append(jnp.zeros((_SPEC,) + parts[0].shape[1:], jnp.int32))
+            out = jnp.concatenate(parts, axis=0)
+        else:
+            out = None
         self._windows_all_cache = (key, out)
         return out
 

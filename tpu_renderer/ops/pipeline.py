@@ -540,6 +540,10 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                             w, ((0, 0), (0, 16 * n_kinds - w.shape[1]),
                                 (0, 0)))
                     parts.append(w)
+                # _SPEC tail rows: the sampler prefetches speculative window
+                # sets as one contiguous block DMA (see Scene._windows_all).
+                parts.append(jnp.zeros((rp._SPEC,) + tuple(parts[0].shape[1:]),
+                                       jnp.int32))
                 windows = jnp.concatenate(parts, axis=0)
             samp, samp_mask = sample_textures_pallas(
                 faces, bins[:2], windows, tid, gbuffer[rp.GB_IU],

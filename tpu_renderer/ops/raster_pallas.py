@@ -53,7 +53,7 @@ _F_BASE = 12
 _F_CLIP = 18
 
 # Int payload layout for faces: [0:4] bbox, [4] flags (1 valid | 2 clip_en |
-# 4 z_write), [5] gid.
+# 4 z_write | 8 needs per-pixel clip), [5] gid.
 _I_COLS = 8
 
 
@@ -157,14 +157,25 @@ def pack_faces(faces, with_debug):
     cols = [faces["sx"], faces["sy"], faces["szlin"], faces["inv_w"]]
     e_cam = conds(faces["clip"]) * faces["inv_w"][..., None]
     cols.append(e_cam.reshape(g, 18))
+    all_inside = jnp.all(e_cam > 0, axis=(1, 2))
     if with_debug:
         e_dbg = conds(faces["clip_dbg"]) * faces["inv_w"][..., None]
         cols.append(e_dbg.reshape(g, 18))
+        all_inside &= jnp.all(e_dbg > 0, axis=(1, 2))
     fdata = jnp.concatenate(cols, axis=1)
 
+    # Per-pixel clip is needed only for clip-enabled faces that aren't
+    # wholly inside every clip space: a face with all three vertices strictly
+    # inside (every inv_w-scaled condition > 0, which also forces w > 0 and
+    # hence S > 0 on covered pixels) passes the interpolated test at every
+    # interior pixel by convexity — the kernels skip the 18 scalar reads +
+    # 6-plane evaluation for them, exactly. clip_en=False faces skip the test
+    # like the XLA path (raster_xla.py:93, reference triangular.py:80).
+    needs_ppc = faces["clip_en"] & ~all_inside
     flags = (faces["valid"].astype(jnp.int32)
              | (faces["clip_en"].astype(jnp.int32) << 1)
-             | (faces["z_write"].astype(jnp.int32) << 2))
+             | (faces["z_write"].astype(jnp.int32) << 2)
+             | (needs_ppc.astype(jnp.int32) << 3))
     idata = jnp.zeros((g, _I_COLS), jnp.int32)
     idata = idata.at[:, 0:4].set(faces["bbox"])
     idata = idata.at[:, 4].set(flags)
@@ -217,6 +228,55 @@ def _window_mask(idata_ref, f, rows, cols):
     b2 = idata_ref[f, 2].astype(jnp.float32)
     b3 = idata_ref[f, 3].astype(jnp.float32)
     return (cols >= b0) & (cols < b1) & (rows >= b2) & (rows < b3)
+
+
+def _visit_claim(fdata_ref, idata_ref, f, flags, rows, cols, with_debug,
+                 apply):
+    """Coverage ∧ window for face f on a pixel block, then ``apply(cov, z)``.
+
+    The per-visit cost is dominated by dynamic scalar reads from the face
+    tables; the per-pixel clip test alone reads 18 (36 with a debug camera)
+    plane scalars. pack_faces precomputes whether the face needs it (flags
+    bit 8 — clip-enabled and not wholly inside); the two pl.when branches let
+    the common all-inside face skip those reads entirely (lax.cond with
+    vector carries doesn't lower in Mosaic, but ref-mutating pl.when does).
+    """
+    ppc = (flags & 8) > 0
+
+    def run(with_clip):
+        cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
+                                with_clip=with_clip)
+        cov &= _window_mask(idata_ref, f, rows, cols)
+        cov &= (flags & 1) > 0
+        apply(cov, z)
+
+    @pl.when(ppc)
+    def _():
+        run(True)
+
+    @pl.when(jnp.logical_not(ppc))
+    def _():
+        run(False)
+
+
+#: Pixel-row slab height for per-visit face work (2 VREGs). Faces are tiny
+#: (p50 bbox height 3 px on the flagship mesh): restricting each visit's
+#: vector work from the (64, 128) tile to the 16-row slabs its bbox touches
+#: cuts the dominant per-visit cost ~4x. Must divide TILE_H and be a multiple
+#: of 8 (aligned dynamic sublane slices).
+_FSLAB = 16
+
+
+def _face_slabs(idata_ref, f, y0i):
+    """(s_base, n_slabs) of _FSLAB-row slabs covering face f's bbox rows
+    within the tile starting at global row ``y0i``. Slab starts stay
+    8-aligned; the caller clamps each start to TILE_H - _FSLAB (overlap is
+    harmless: coverage ∧ bbox-window masking makes revisits idempotent)."""
+    r_lo = jnp.clip(idata_ref[f, 2] - y0i, 0, TILE_H)
+    r_hi = jnp.clip(idata_ref[f, 3] - y0i, 0, TILE_H)
+    s_base = r_lo & ~7
+    n_slabs = (r_hi - s_base + _FSLAB - 1) >> 4
+    return s_base, n_slabs
 
 
 def _pad_rows_to(a, mult, fill=0):
@@ -304,12 +364,12 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         row0k = counts_ref[n_chunks * n_ty * n_tx]
-        y0 = (ty * TILE_H + row0k).astype(jnp.float32)
+        y0i = ty * TILE_H + row0k
         x0 = (tx * TILE_W).astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
-        cols = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
+        rows_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
+        cols_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 1).astype(jnp.float32) + x0
 
         @pl.when(c == 0)
         def _():
@@ -325,14 +385,26 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
             # claim after that equals a final-buffer test.
             f = idx_ref[0, 0, k, 0]
             flags = idata_ref[f, 4]
-            cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
-                                    with_clip=True)
-            cov &= _window_mask(idata_ref, f, rows, cols)
-            cov &= (flags & 1) > 0
-            zs = z * sign
-            upd = cov & (zb_ref[:] >= zs)
-            tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
-            zb_ref[:] = jnp.where(upd & ((flags & 4) > 0), zs, zb_ref[:])
+            s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+
+            def slab(si, _):
+                s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
+                rows = rows_s + (y0i + s0).astype(jnp.float32)
+
+                def apply(cov, z):
+                    zs = z * sign
+                    zb_s = zb_ref[pl.ds(s0, _FSLAB), :]
+                    upd = cov & (zb_s >= zs)
+                    tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
+                        upd, idata_ref[f, 5], tid_ref[pl.ds(s0, _FSLAB), :])
+                    zb_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
+                        upd & ((flags & 4) > 0), zs, zb_s)
+
+                _visit_claim(fdata_ref, idata_ref, f, flags, rows, cols_s,
+                             with_debug, apply)
+                return 0
+
+            jax.lax.fori_loop(0, n_slabs, slab, 0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -858,12 +930,12 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         phase = step >= n_chunks
         c = step - n_chunks * phase.astype(jnp.int32)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
-        y0 = (ty * TILE_H).astype(jnp.float32)
+        y0i = ty * TILE_H
         x0 = (tx * TILE_W).astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
-        cols = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
+        rows_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
+        cols_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 1).astype(jnp.float32) + x0
 
         @pl.when(step == 0)
         def _():
@@ -877,14 +949,27 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 # Single incremental z+id pass — see visibility_pallas.
                 f = idx_ref[0, 0, k, 0]
                 flags = idata_ref[f, 4]
-                cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
-                                        with_clip=True)
-                cov &= _window_mask(idata_ref, f, rows, cols)
-                cov &= (flags & 1) > 0
-                zs = z * sign
-                upd = cov & (zb_ref[:] >= zs)
-                tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
-                zb_ref[:] = jnp.where(upd & ((flags & 4) > 0), zs, zb_ref[:])
+                s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+
+                def slab(si, _):
+                    s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
+                    rows = rows_s + (y0i + s0).astype(jnp.float32)
+
+                    def apply(cov, z):
+                        zs = z * sign
+                        zb_s = zb_ref[pl.ds(s0, _FSLAB), :]
+                        upd = cov & (zb_s >= zs)
+                        tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
+                            upd, idata_ref[f, 5],
+                            tid_ref[pl.ds(s0, _FSLAB), :])
+                        zb_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
+                            upd & ((flags & 4) > 0), zs, zb_s)
+
+                    _visit_claim(fdata_ref, idata_ref, f, flags, rows,
+                                 cols_s, with_debug, apply)
+                    return 0
+
+                jax.lax.fori_loop(0, n_slabs, slab, 0)
                 return 0
 
             jax.lax.fori_loop(0, count, body, 0)
@@ -894,16 +979,25 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             def gbody(k, _):
                 f = idx_ref[0, 0, k, 0]
                 gid = idata_ref[f, 5]
-                win = tid_ref[:] == gid
+                s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
 
-                @pl.when(jnp.any(win))
-                def _():
-                    def put(ch, val):
-                        gb_ref[ch, :, :] = jnp.where(win, val,
-                                                     gb_ref[ch, :, :])
+                def slab(si, _):
+                    s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
+                    win = tid_ref[pl.ds(s0, _FSLAB), :] == gid
 
-                    _gb_interp_face(fdata_ref, f, X, rows, cols, put,
-                                    with_tex_tables)
+                    @pl.when(jnp.any(win))
+                    def _():
+                        rows = rows_s + (y0i + s0).astype(jnp.float32)
+
+                        def put(ch, val):
+                            gb_ref[ch, pl.ds(s0, _FSLAB), :] = jnp.where(
+                                win, val, gb_ref[ch, pl.ds(s0, _FSLAB), :])
+
+                        _gb_interp_face(fdata_ref, f, X, rows, cols_s, put,
+                                        with_tex_tables)
+                    return 0
+
+                jax.lax.fori_loop(0, n_slabs, slab, 0)
                 return 0
 
             jax.lax.fori_loop(0, count, gbody, 0)
@@ -1044,18 +1138,17 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             samp_ref[:] = jnp.zeros((n_kinds, TILE_H, TILE_W), jnp.int32)
             mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
-        def spec_dma(buf, j, w):
+        def spec_dma(buf, wb):
+            # One contiguous (_SPEC, wrows, WIN_C) block: a face's windows are
+            # consecutive rows (wbase + j), so the speculative set moves in a
+            # single DMA with a single semaphore — the windows table carries
+            # _SPEC rows of tail padding to keep the last faces in bounds.
             return pltpu.make_async_copy(
-                win_hbm.at[w], spec.at[buf, j], sems.at[buf, j])
+                win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
 
         def prefetch(k, buf):
             f = idx_ref[0, 0, k, 0]
-            wb = sdata_ref[f, 1]
-            wn = sdata_ref[f, 2] * sdata_ref[f, 3]
-            for j in range(_SPEC):
-                @pl.when(j < wn)
-                def _():
-                    spec_dma(buf, j, wb + j).start()
+            spec_dma(buf, sdata_ref[f, 1]).start()
 
         @pl.when(count > 0)
         def _():
@@ -1099,10 +1192,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             @pl.when(k + 1 < count)
             def _():
                 prefetch(k + 1, 1 - buf)
-            for j in range(_SPEC):
-                @pl.when(j < wn_spec)
-                def _():
-                    spec_dma(buf, j, wb + j).wait()
+            spec_dma(buf, wb).wait()
 
             @pl.when(kmask > 0)
             def _():
@@ -1141,56 +1231,70 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                         row = (rf - thf * jnp.floor(rf / thf)
                                ).astype(jnp.int32)
 
-                        # Slab texel footprint (winning pixels) -> windows.
-                        big = jnp.int32(2 ** 30)
-                        trmin = jnp.min(jnp.where(win, row, big))
-                        trmax = jnp.max(jnp.where(win, row, -big))
-                        tcmin = jnp.min(jnp.where(win, col, big))
-                        tcmax = jnp.max(jnp.where(win, col, -big))
-                        wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
-                        wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
-                        wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
-                        wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
-                        nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
+                        def visit_at(wc_lo, wc_hi):
+                            def visit(v, carry):
+                                wr, wc = carry
+                                off = wr * nwc + wc
+                                # Window texel origin, wrapped into the
+                                # texture (scalar f32 floor-mod — no integer
+                                # division on TPU); rel of wrapped texel
+                                # coords corrected by one texture period
+                                # where the window straddles the wrap seam.
+                                r0 = (rbase + (wr << 4)).astype(jnp.float32)
+                                c0 = (cbase + (wc << 7)).astype(jnp.float32)
+                                r0w = (r0 - thf * jnp.floor(r0 / thf)
+                                       ).astype(jnp.int32)
+                                c0w = (c0 - twf * jnp.floor(c0 / twf)
+                                       ).astype(jnp.int32)
+                                rel_r = row - r0w
+                                rel_r = rel_r + th * (rel_r < -(th - WIN_R))
+                                rel_c = col - c0w
+                                rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
 
-                        def visit(v, carry):
-                            wr, wc = carry
-                            off = wr * nwc + wc
-                            # Window texel origin, wrapped into the texture
-                            # (scalar f32 floor-mod — no integer division on
-                            # TPU); rel of wrapped texel coords corrected by
-                            # one texture period where the window straddles
-                            # the wrap seam.
-                            r0 = (rbase + (wr << 4)).astype(jnp.float32)
-                            c0 = (cbase + (wc << 7)).astype(jnp.float32)
-                            r0w = (r0 - thf * jnp.floor(r0 / thf)
-                                   ).astype(jnp.int32)
-                            c0w = (c0 - twf * jnp.floor(c0 / twf)
-                                   ).astype(jnp.int32)
-                            rel_r = row - r0w
-                            rel_r = rel_r + th * (rel_r < -(th - WIN_R))
-                            rel_c = col - c0w
-                            rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
+                                @pl.when(off < wn_spec)
+                                def _():
+                                    process_window(spec[buf, off], s0, rel_r,
+                                                   rel_c, win, kmask)
 
-                            @pl.when(off < wn_spec)
-                            def _():
-                                process_window(spec[buf, off], s0, rel_r,
-                                               rel_c, win, kmask)
+                                @pl.when(off >= wn_spec)
+                                def _():
+                                    dma = pltpu.make_async_copy(
+                                        win_hbm.at[wb + off], sync, sem_sync)
+                                    dma.start()
+                                    dma.wait()
+                                    process_window(sync[:], s0, rel_r, rel_c,
+                                                   win, kmask)
 
-                            @pl.when(off >= wn_spec)
-                            def _():
-                                dma = pltpu.make_async_copy(
-                                    win_hbm.at[wb + off], sync, sem_sync)
-                                dma.start()
-                                dma.wait()
-                                process_window(sync[:], s0, rel_r, rel_c,
-                                               win, kmask)
+                                wc2 = jnp.where(wc + 1 > wc_hi, wc_lo, wc + 1)
+                                wr2 = jnp.where(wc + 1 > wc_hi, wr + 1, wr)
+                                return (wr2, wc2)
+                            return visit
 
-                            wc2 = jnp.where(wc + 1 > wc1, wc0, wc + 1)
-                            wr2 = jnp.where(wc + 1 > wc1, wr + 1, wr)
-                            return (wr2, wc2)
+                        # Fully-speculative faces (the common case: a 1-2
+                        # window grid) visit every window — the 4 masked
+                        # full-reduces of the texel footprint cost more than
+                        # the 0-3 extra inwin-masked visits they could prune.
+                        @pl.when(wn <= _SPEC)
+                        def _():
+                            jax.lax.fori_loop(0, wn, visit_at(0, nwc - 1),
+                                              (0, 0))
 
-                        jax.lax.fori_loop(0, nv, visit, (wr0, wc0))
+                        @pl.when(wn > _SPEC)
+                        def _():
+                            # Slab texel footprint (winning pixels) -> the
+                            # window subgrid it intersects.
+                            big = jnp.int32(2 ** 30)
+                            trmin = jnp.min(jnp.where(win, row, big))
+                            trmax = jnp.max(jnp.where(win, row, -big))
+                            tcmin = jnp.min(jnp.where(win, col, big))
+                            tcmax = jnp.max(jnp.where(win, col, -big))
+                            wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
+                            wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
+                            wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
+                            wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
+                            nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
+                            jax.lax.fori_loop(0, nv, visit_at(wc0, wc1),
+                                              (wr0, wc0))
                     return 0
 
                 jax.lax.fori_loop(0, n_slabs, slab_body, 0)
@@ -1225,7 +1329,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         scratch_shapes=[
             pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
             pltpu.VMEM((wrows, WIN_C), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, _SPEC)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -1279,12 +1383,12 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         row0k = counts_ref[n_chunks * n_ty * n_tx]
-        y0 = (ty * TILE_H + row0k).astype(jnp.float32)
+        y0i = ty * TILE_H + row0k
         x0 = (tx * TILE_W).astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
-        cols = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
+        rows_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
+        cols_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 1).astype(jnp.float32) + x0
 
         @pl.when(c == 0)
         def _():
@@ -1293,12 +1397,22 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
         def body(k, _):
             f = idx_ref[0, 0, k, 0]
             flags = idata_ref[f, 4]
-            cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
-                                    with_clip=True)
-            cov &= _window_mask(idata_ref, f, rows, cols)
-            cov &= (flags & 1) > 0
-            upd = cov & (zb_ref[:] >= z * sign)
-            tid_ref[:] = jnp.where(upd, idata_ref[f, 5], tid_ref[:])
+            s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+
+            def slab(si, _):
+                s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
+                rows = rows_s + (y0i + s0).astype(jnp.float32)
+
+                def apply(cov, z):
+                    upd = cov & (zb_ref[pl.ds(s0, _FSLAB), :] >= z * sign)
+                    tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
+                        upd, idata_ref[f, 5], tid_ref[pl.ds(s0, _FSLAB), :])
+
+                _visit_claim(fdata_ref, idata_ref, f, flags, rows, cols_s,
+                             with_debug, apply)
+                return 0
+
+            jax.lax.fori_loop(0, n_slabs, slab, 0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -1371,12 +1485,12 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         row0k = counts_ref[n_chunks * n_ty * n_tx]
-        y0 = (ty * TILE_H + row0k).astype(jnp.float32)
+        y0i = ty * TILE_H + row0k
         x0 = (tx * TILE_W).astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
-        cols = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
+        rows_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
+        cols_s = jax.lax.broadcasted_iota(
+            jnp.int32, (_FSLAB, TILE_W), 1).astype(jnp.float32) + x0
 
         @pl.when(c == 0)
         def _():
@@ -1385,15 +1499,25 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
         def gbody(k, _):
             f = idx_ref[0, 0, k, 0]
             gid = idata_ref[f, 5]
-            win = tid_ref[:] == gid
+            s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
 
-            @pl.when(jnp.any(win))
-            def _():
-                def put(ch, val):
-                    gb_ref[ch, :, :] = jnp.where(win, val, gb_ref[ch, :, :])
+            def slab(si, _):
+                s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
+                win = tid_ref[pl.ds(s0, _FSLAB), :] == gid
 
-                _gb_interp_face(fdata_ref, f, X, rows, cols, put,
-                                with_tex_tables)
+                @pl.when(jnp.any(win))
+                def _():
+                    rows = rows_s + (y0i + s0).astype(jnp.float32)
+
+                    def put(ch, val):
+                        gb_ref[ch, pl.ds(s0, _FSLAB), :] = jnp.where(
+                            win, val, gb_ref[ch, pl.ds(s0, _FSLAB), :])
+
+                    _gb_interp_face(fdata_ref, f, X, rows, cols_s, put,
+                                    with_tex_tables)
+                return 0
+
+            jax.lax.fori_loop(0, n_slabs, slab, 0)
             return 0
 
         jax.lax.fori_loop(0, count, gbody, 0)
