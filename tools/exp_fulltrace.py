@@ -1,0 +1,64 @@
+"""Device-op breakdown of the FULL flagship frame via the profiler.
+
+Runs render_frame 6x inside one jitted program (rep index mixed into the
+camera so XLA can't CSE), traces, and prints per-op device ms sorted.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from tpu_renderer.utils.profiling import trace, summarize_device_trace
+
+REPS = 6
+
+
+def main():
+    from bench import build_scene
+    from tpu_renderer.ops import pipeline as pp
+
+    scene = build_scene()
+    cfg, dyn = scene._prepare()
+    dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
+
+    @jax.jit
+    def program(dyn, rs):
+        outs = []
+        for r in range(REPS):
+            d = dict(dyn)
+            cam = dict(d["camera"])
+            cam["position"] = cam["position"] + (rs[r] >> 30).astype(
+                jnp.float32)
+            d["camera"] = cam
+            outs.append(pp.render_frame(cfg, d)[0][:8, :128, 0])
+        return jnp.concatenate([o.astype(jnp.float32).reshape(-1)
+                                for o in outs])
+
+    rs = jnp.arange(REPS, dtype=jnp.int32)
+    np.asarray(program(dyn, rs))
+    logdir = "/tmp/exp_fulltrace"
+    import shutil
+    shutil.rmtree(logdir, ignore_errors=True)
+    with trace(logdir):
+        np.asarray(program(dyn, rs))
+    rows = summarize_device_trace(logdir)
+    tot = 0.0
+    by_src = {}
+    for ms, name, src in rows:
+        tot += ms / REPS
+        key = src or name.split(".")[0]
+        by_src[key] = by_src.get(key, 0.0) + ms / REPS
+    for key, ms in sorted(by_src.items(), key=lambda kv: -kv[1]):
+        if ms < 0.05:
+            continue
+        print(f"{ms:8.3f} ms  {key[:90]}")
+    print(f"{tot:8.3f} ms TOTAL device")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,8 +9,8 @@ The reference clips one polygon at a time with Python lists
 kernel over padded vertex buffers, so thousands of shadow-volume quads clip in one
 vectorized device op (``jax.vmap(clip_polygon)``): each plane pass emits, per input
 edge, up to two candidate vertices (current vertex if visible; edge/plane
-intersection on visibility change) and compacts them with a prefix-sum scatter —
-the same output order as the reference's sequential appends.
+intersection on visibility change) and compacts them with a stable prefix-position
+key sort — the same output order as the reference's sequential appends.
 """
 from __future__ import annotations
 
@@ -84,15 +84,22 @@ def _clip_one_plane(verts, count, plane):
     verts: (P_MAX, 4) float32 padded vertex buffer; count: active vertex count.
     Emits per input edge i < count: the current vertex when visible, then the
     edge/plane intersection on a visibility transition — exactly the reference's
-    append order (plane_intersection.py:69-83). Candidates are compacted into the
-    output buffer by a prefix-sum scatter.
+    append order (plane_intersection.py:69-83).
+
+    TPU notes (each ~4-12x at 1536-quad shadow batch scale, tools/exp_clip.py):
+    the next vertex comes from a static roll + wrap select instead of a
+    per-element XLA gather, and kept candidates compact via a stable key sort
+    (prefix position, dropped slots keyed last) — values move verbatim, unlike
+    a one-hot contraction, whose f32 exactness needs precision="highest".
+    Slots past the new count keep whatever the sort left there; clip_polygon
+    zeroes them once at the end.
     """
     n = verts.shape[0]
     idx = jnp.arange(n)
     active = idx < count
-    nxt_idx = jnp.where(idx + 1 >= count, 0, idx + 1)
     cur = verts
-    nxt = verts[nxt_idx]
+    nxt = jnp.where((idx + 1 >= count)[:, None], verts[0:1],
+                    jnp.roll(verts, -1, axis=0))
 
     dist_cur = cur @ plane
     dist_nxt = nxt @ plane
@@ -116,11 +123,10 @@ def _clip_one_plane(verts, count, plane):
     flags = jnp.stack([emit_cur, emit_ip], axis=1).reshape(2 * n)
     pos = jnp.cumsum(flags) - 1
     out_count = flags.sum()
-    # Compact kept candidates with a one-hot contraction instead of a scatter
-    # (TPU scatters serialize; a (n, 2n) boolean matmul stays on the VPU/MXU).
-    pos = jnp.where(flags, pos, -1)
-    onehot = (pos[None, :] == jnp.arange(n)[:, None]).astype(cand.dtype)
-    out = jnp.matmul(onehot, cand, precision="highest")
+    key = jnp.where(flags, pos, 2 * n)
+    ordered = jax.lax.sort([key] + [cand[:, c] for c in range(4)],
+                           num_keys=1)
+    out = jnp.stack(ordered[1:], axis=-1)[:n]
     return out, out_count
 
 
@@ -142,6 +148,10 @@ def clip_polygon(verts, count, planes):
     # Plane count is tiny and static: unroll to avoid while-loop overhead.
     (verts, count), _ = jax.lax.scan(body, (verts, count), planes,
                                      unroll=True)
+    # The per-plane sort compaction leaves stale values past the count; zero
+    # them so callers see the same dead-slot contents as before.
+    verts = jnp.where((jnp.arange(verts.shape[0]) < count)[:, None],
+                      verts, 0.0)
     return verts, count
 
 

@@ -259,12 +259,13 @@ def _visit_claim(fdata_ref, idata_ref, f, flags, rows, cols, with_debug,
         run(False)
 
 
-#: Pixel-row slab height for per-visit face work (2 VREGs). Faces are tiny
+#: Pixel-row slab height for per-visit face work (1 VREG). Faces are tiny
 #: (p50 bbox height 3 px on the flagship mesh): restricting each visit's
-#: vector work from the (64, 128) tile to the 16-row slabs its bbox touches
+#: vector work from the (64, 128) tile to the row slabs its bbox touches
 #: cuts the dominant per-visit cost ~4x. Must divide TILE_H and be a multiple
 #: of 8 (aligned dynamic sublane slices).
 _FSLAB = 16
+_FSLAB_SHIFT = _FSLAB.bit_length() - 1
 
 
 def _face_slabs(idata_ref, f, y0i):
@@ -275,7 +276,7 @@ def _face_slabs(idata_ref, f, y0i):
     r_lo = jnp.clip(idata_ref[f, 2] - y0i, 0, TILE_H)
     r_hi = jnp.clip(idata_ref[f, 3] - y0i, 0, TILE_H)
     s_base = r_lo & ~7
-    n_slabs = (r_hi - s_base + _FSLAB - 1) >> 4
+    n_slabs = (r_hi - s_base + _FSLAB - 1) >> _FSLAB_SHIFT
     return s_base, n_slabs
 
 
@@ -1066,6 +1067,7 @@ _SPEC = 4
 #: Pixel-slab height for per-visit sampler work (2 VREGs; must divide TILE_H
 #: and be a multiple of 8 for aligned dynamic sublane slices).
 _SLAB = 16
+_SLAB_SHIFT = _SLAB.bit_length() - 1
 
 
 def pack_sample_faces(faces):
@@ -1165,6 +1167,9 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                 msl = mask_ref[pl.ds(s0, _SLAB), :]
                 mask_ref[pl.ds(s0, _SLAB), :] = jnp.where(
                     inwin, msl | kmask, msl)
+                # NOTE: don't gate the row sweep with per-row pl.when on a
+                # footprint range — measured 1.6x SLOWER in-frame (Mosaic
+                # scalar branches cost more than the skipped 1-VREG gathers).
                 for k in range(n_kinds):
                     kin = inwin & ((kmask >> k) & 1 > 0)
                     acc = samp_ref[k, pl.ds(s0, _SLAB), :]
@@ -1205,12 +1210,12 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
 
                 # Pixel-row slabs covering the face's bbox within this tile:
                 # every per-visit vector op shrinks from the (64, 128) tile
-                # to a (16, 128) slab (2 VREGs), the dominant sampler cost.
+                # to a (_SLAB, 128) slab, the dominant sampler cost.
                 ty0px = ty * TILE_H
                 r_lo = jnp.maximum(sdata_ref[f, 9] - ty0px, 0)
                 r_hi = jnp.minimum(sdata_ref[f, 10] - ty0px, TILE_H)
                 s_base = r_lo & ~7
-                n_slabs = (r_hi - s_base + _SLAB - 1) >> 4
+                n_slabs = (r_hi - s_base + _SLAB - 1) >> _SLAB_SHIFT
 
                 def slab_body(si, _):
                     s0 = jnp.minimum(s_base + si * _SLAB, TILE_H - _SLAB)
