@@ -129,8 +129,8 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
 
         raster = {
             "sx": f["sx"], "sy": f["sy"], "szlin": f["szlin"],
-            "inv_w": f["inv_w"], "clip": f["clip"], "denom": f["denom"],
-            "bbox": f["bbox"],
+            "inv_w": f["inv_w"], "aff": f["aff"], "clip": f["clip"],
+            "denom": f["denom"], "bbox": f["bbox"],
             "valid": f["valid"] & md["pad_valid"],
             "clip_en": jnp.full((F,), mc.clip),
             "z_write": jnp.full((F,), mc.depth_test),
@@ -153,7 +153,7 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
 
         attrs = {
             "sx": f["sx"], "sy": f["sy"], "inv_w": f["inv_w"],
-            "szlin": f["szlin"],
+            "szlin": f["szlin"], "aff": f["aff"],
             "world": world, "vn": vn, "face_normal": face_normal,
             "uv": md["uv"], "kd": md["kd"], "ks": md["ks"], "ns": md["ns"],
             "kd_slot": md["kd_slot"], "ks_slot": md["ks_slot"],
@@ -230,7 +230,7 @@ def _shade(cfg: SceneConfig, dyn, tid, stencil, attrs, cam_m, row0=0):
 
     g = lambda name: attrs[name][fid]
     sx, sy, inv_w = g("sx"), g("sy"), g("inv_w")
-    bar, pb = sh.pixel_barycentric(sx, sy, inv_w, row0)
+    bar, pb = sh.pixel_barycentric(g("aff"), inv_w, row0)
 
     world = g("world")                              # (H, W, 3, 3)
     frag_world = jnp.einsum("...k,...kc->...c", pb, world)

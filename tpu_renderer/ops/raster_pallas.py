@@ -154,7 +154,9 @@ def pack_faces(faces, with_debug):
         x, y, z, w = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
         return jnp.stack([x + w, w - x, y + w, w - y, z + w, w - z], axis=-1)
 
-    cols = [faces["sx"], faces["sy"], faces["szlin"], faces["inv_w"]]
+    # [0:9] affine barycentric/z coefficients (vertex.gather_faces),
+    # [9:12] per-vertex 1/w for the perspective-corrected clip normalizer.
+    cols = [faces["aff"], faces["inv_w"]]
     e_cam = conds(faces["clip"]) * faces["inv_w"][..., None]
     cols.append(e_cam.reshape(g, 18))
     all_inside = jnp.all(e_cam > 0, axis=(1, 2))
@@ -184,22 +186,13 @@ def pack_faces(faces, with_debug):
 
 
 def _face_tile_cov(fdata_ref, f, rows, cols, with_debug, with_clip):
-    """Coverage ∧ sign-space depth for one face over a (TH, TW) tile block."""
-    sx0, sx1, sx2 = fdata_ref[f, 0], fdata_ref[f, 1], fdata_ref[f, 2]
-    sy0, sy1, sy2 = fdata_ref[f, 3], fdata_ref[f, 4], fdata_ref[f, 5]
-    v0x, v0y = sx1 - sx0, sy1 - sy0
-    v1x, v1y = sx2 - sx0, sy2 - sy0
-    d00 = v0x * v0x + v0y * v0y
-    d01 = v0x * v1x + v0y * v1y
-    d11 = v1x * v1x + v1y * v1y
-    inv_denom = 1.0 / (d00 * d11 - d01 * d01)
+    """Coverage ∧ sign-space depth for one face over a (TH, TW) tile block.
 
-    v2x = cols - sx0
-    v2y = rows - sy0
-    d20 = v2x * v0x + v2y * v0y
-    d21 = v2x * v1x + v2y * v1y
-    v = (d11 * d20 - d01 * d21) * inv_denom
-    w = (d00 * d21 - d01 * d20) * inv_denom
+    Affine evaluation — the same coefficients and expression as
+    raster_xla.face_fragments, so the backends stay bit-identical.
+    """
+    v = fdata_ref[f, 0] * cols + fdata_ref[f, 1] * rows + fdata_ref[f, 2]
+    w = fdata_ref[f, 3] * cols + fdata_ref[f, 4] * rows + fdata_ref[f, 5]
     u = 1.0 - v - w
     cov = (u >= 0) & (v >= 0) & (w >= 0)
 
@@ -218,7 +211,7 @@ def _face_tile_cov(fdata_ref, f, rows, cols, with_debug, with_clip):
                 ok &= (q > 0) == (s > 0)
         cov &= ok
 
-    z = (u * fdata_ref[f, 6] + v * fdata_ref[f, 7] + w * fdata_ref[f, 8])
+    z = fdata_ref[f, 6] * cols + fdata_ref[f, 7] * rows + fdata_ref[f, 8]
     return cov, z
 
 
@@ -806,21 +799,9 @@ def _gb_interp_face(fdata_ref, f, X, rows, cols, put, with_tex_tables):
     winner-masked write. Tangent/bitangent solve the reference's per-pixel
     TBN system (core.py:191-224) in closed form via the adjugate.
     """
-    # Screen barycentric (same math as _face_tile_cov).
-    sx0, sx1, sx2 = fdata_ref[f, 0], fdata_ref[f, 1], fdata_ref[f, 2]
-    sy0, sy1, sy2 = fdata_ref[f, 3], fdata_ref[f, 4], fdata_ref[f, 5]
-    v0x, v0y = sx1 - sx0, sy1 - sy0
-    v1x, v1y = sx2 - sx0, sy2 - sy0
-    d00 = v0x * v0x + v0y * v0y
-    d01 = v0x * v1x + v0y * v1y
-    d11 = v1x * v1x + v1y * v1y
-    inv_denom = 1.0 / (d00 * d11 - d01 * d01)
-    v2x = cols - sx0
-    v2y = rows - sy0
-    d20 = v2x * v0x + v2y * v0y
-    d21 = v2x * v1x + v2y * v1y
-    v = (d11 * d20 - d01 * d21) * inv_denom
-    w = (d00 * d21 - d01 * d20) * inv_denom
+    # Screen barycentric (same affine coefficients as _face_tile_cov).
+    v = fdata_ref[f, 0] * cols + fdata_ref[f, 1] * rows + fdata_ref[f, 2]
+    w = fdata_ref[f, 3] * cols + fdata_ref[f, 4] * rows + fdata_ref[f, 5]
     u = 1.0 - v - w
     # Perspective-corrected weights (core.py:155-160).
     iw0, iw1, iw2 = fdata_ref[f, 9], fdata_ref[f, 10], fdata_ref[f, 11]
@@ -1088,9 +1069,10 @@ def _pad2d(a, hp, wp, fill):
                    constant_values=fill)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "n_kinds", "interpret"))
+@partial(jax.jit, static_argnames=("height", "width", "n_kinds", "interpret",
+                                   "mode"))
 def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
-                           n_kinds, interpret=False):
+                           n_kinds, interpret=False, mode="full"):
     """Per-pixel nearest texture sampling from per-face texel windows.
 
     Replaces the XLA per-pixel table gathers (~13 ms per million indices on
@@ -1148,11 +1130,15 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             return pltpu.make_async_copy(
                 win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
 
+        _dbg_dma = mode not in ("nodma", "noscan")
+        _dbg_sweep = mode not in ("nosweep", "noscan")
+        _dbg_scan = mode != "noscan"
+
         def prefetch(k, buf):
             f = idx_ref[0, 0, k, 0]
             spec_dma(buf, sdata_ref[f, 1]).start()
 
-        @pl.when(count > 0)
+        @pl.when((count > 0) & _dbg_dma)
         def _():
             prefetch(0, 0)
 
@@ -1170,17 +1156,25 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                 # NOTE: don't gate the row sweep with per-row pl.when on a
                 # footprint range — measured 1.6x SLOWER in-frame (Mosaic
                 # scalar branches cost more than the skipped 1-VREG gathers).
-                for k in range(n_kinds):
-                    kin = inwin & ((kmask >> k) & 1 > 0)
-                    acc = samp_ref[k, pl.ds(s0, _SLAB), :]
-                    for rr in range(WIN_R):
+                # The row-select mask is shared across kinds, and absent
+                # kinds sample garbage on purpose: the mask plane only ever
+                # carries the winning face's kind bits for a pixel (gids are
+                # unique), so unsampled planes are never read there.
+                if not _dbg_sweep:
+                    return
+                accs = [samp_ref[k, pl.ds(s0, _SLAB), :]
+                        for k in range(n_kinds)]
+                for rr in range(WIN_R):
+                    sel = inwin & (rel_r == rr)
+                    for k in range(n_kinds):
                         g = jnp.take_along_axis(
                             jnp.broadcast_to(wv[WIN_R * k + rr:
                                                WIN_R * k + rr + 1, :],
                                              (_SLAB, TILE_W)),
                             rel_c_s, axis=1)
-                        acc = jnp.where(kin & (rel_r == rr), g, acc)
-                    samp_ref[k, pl.ds(s0, _SLAB), :] = acc
+                        accs[k] = jnp.where(sel, g, accs[k])
+                for k in range(n_kinds):
+                    samp_ref[k, pl.ds(s0, _SLAB), :] = accs[k]
 
         def body(k, _):
             buf = jax.lax.rem(k, 2)
@@ -1194,10 +1188,11 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             wn_spec = jnp.minimum(wn, _SPEC)
 
             # Start face k+1's speculative windows, then drain this face's.
-            @pl.when(k + 1 < count)
+            @pl.when((k + 1 < count) & _dbg_dma)
             def _():
                 prefetch(k + 1, 1 - buf)
-            spec_dma(buf, wb).wait()
+            if _dbg_dma:
+                spec_dma(buf, wb).wait()
 
             @pl.when(kmask > 0)
             def _():
@@ -1302,7 +1297,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                                               (wr0, wc0))
                     return 0
 
-                jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+                if _dbg_scan:
+                    jax.lax.fori_loop(0, n_slabs, slab_body, 0)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)

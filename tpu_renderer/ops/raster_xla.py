@@ -45,22 +45,12 @@ def face_fragments(face, rows, cols, with_clip_test):
 
     Returns (cov (H, W) bool, z (H, W) f32).
     """
-    sx, sy = face["sx"], face["sy"]
-    ax, ay = sx[0], sy[0]
-    v0x, v0y = sx[1] - ax, sy[1] - ay
-    v1x, v1y = sx[2] - ax, sy[2] - ay
-    d00 = v0x * v0x + v0y * v0y
-    d01 = v0x * v1x + v0y * v1y
-    d11 = v1x * v1x + v1y * v1y
-    inv_denom = 1.0 / face["denom"]
-
-    # Pixel grid relative to vertex a; broadcasting keeps everything (H, W).
-    v2x = cols - ax
-    v2y = rows - ay
-    d20 = v2x * v0x + v2y * v0y
-    d21 = v2x * v1x + v2y * v1y
-    v = (d11 * d20 - d01 * d21) * inv_denom
-    w = (d00 * d21 - d01 * d20) * inv_denom
+    # Affine barycentric evaluation (coefficients precomputed once per face
+    # in vertex.gather_faces — the same values and the same expression the
+    # Pallas kernels evaluate, keeping the two backends bit-identical).
+    aff = face["aff"]
+    v = aff[0] * cols + aff[1] * rows + aff[2]
+    w = aff[3] * cols + aff[4] * rows + aff[5]
     u = 1.0 - v - w
 
     inside = (u >= 0) & (v >= 0) & (w >= 0)
@@ -92,7 +82,7 @@ def face_fragments(face, rows, cols, with_clip_test):
         # Models with clip=False skip the test (reference triangular.py:80).
         cov &= ok | ~face["clip_en"]
 
-    z = u * face["szlin"][0] + v * face["szlin"][1] + w * face["szlin"][2]
+    z = aff[6] * cols + aff[7] * rows + aff[8]
     return cov, z
 
 

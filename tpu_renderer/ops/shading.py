@@ -43,31 +43,22 @@ def mix(x, y, a):
     return x * (1 - a) + y * a
 
 
-def pixel_barycentric(sx, sy, inv_w, row0=0):
+def pixel_barycentric(aff, inv_w, row0=0):
     """Screen + perspective-corrected barycentric for every pixel.
 
-    sx, sy, inv_w: (H, W, 3) per-pixel winning-face vertex data. ``row0``
-    offsets rows into the global frame for row-sharded rendering.
-    Returns (bar, pb): both (H, W, 3). ``pb`` is the reference's
-    ``screen_perspective`` (core.py:155-160): bar * (1/w) renormalized.
+    aff: (H, W, 9) per-pixel winning-face affine barycentric coefficients
+    (vertex.gather_faces — the same values and evaluation expression as the
+    rasterizers, keeping deferred shading consistent with coverage);
+    inv_w: (H, W, 3). ``row0`` offsets rows into the global frame for
+    row-sharded rendering. Returns (bar, pb): both (H, W, 3). ``pb`` is the
+    reference's ``screen_perspective`` (core.py:155-160): bar * (1/w)
+    renormalized.
     """
-    H, W = sx.shape[:2]
+    H, W = aff.shape[:2]
     cols = jnp.arange(W, dtype=jnp.float32)[None, :]
     rows = jnp.arange(H, dtype=jnp.float32)[:, None] + row0
-    ax, ay = sx[..., 0], sy[..., 0]
-    v0x, v0y = sx[..., 1] - ax, sy[..., 1] - ay
-    v1x, v1y = sx[..., 2] - ax, sy[..., 2] - ay
-    d00 = v0x * v0x + v0y * v0y
-    d01 = v0x * v1x + v0y * v1y
-    d11 = v1x * v1x + v1y * v1y
-    denom = d00 * d11 - d01 * d01
-    inv_denom = 1.0 / denom
-    v2x = cols - ax
-    v2y = rows - ay
-    d20 = v2x * v0x + v2y * v0y
-    d21 = v2x * v1x + v2y * v1y
-    v = (d11 * d20 - d01 * d21) * inv_denom
-    w = (d00 * d21 - d01 * d20) * inv_denom
+    v = aff[..., 0] * cols + aff[..., 1] * rows + aff[..., 2]
+    w = aff[..., 3] * cols + aff[..., 4] * rows + aff[..., 5]
     u = 1.0 - v - w
     bar = jnp.stack([u, v, w], axis=-1)
     scaled = bar * inv_w

@@ -88,11 +88,34 @@ def gather_faces(vert_arrays, face_vid, height, width, backface_culling):
     denom = d00 * d11 - d01 * d01
     valid &= denom != 0                                  # Errors.EMPTY_B
 
+    # Screen barycentrics as per-face AFFINE functions of the pixel center:
+    # v = av*x + bv*y + cv, w likewise, u = 1 - v - w, z = az*x + bz*y + cz.
+    # Algebraically identical to the two-dot-product form
+    # (transformation.py:25-33) but one fused setup per FACE instead of per
+    # pixel — every rasterizer (ops/raster_xla.py, the Pallas kernels, and
+    # shading.pixel_barycentric) evaluates these coefficients with the same
+    # expression, so the backends stay bit-identical to each other. Absolute
+    # f32 error of the global-coordinate evaluation is ~|coef|*2^-14 px
+    # (coords <= 4k), orders below the half-pixel coverage granularity.
+    ax, ay = sx[:, 0], sy[:, 0]
+    inv_denom = 1.0 / jnp.where(denom == 0, 1.0, denom)
+    av = (d11 * v0x - d01 * v1x) * inv_denom
+    bv = (d11 * v0y - d01 * v1y) * inv_denom
+    cv = -(ax * av + ay * bv)
+    aw = (d00 * v1x - d01 * v0x) * inv_denom
+    bw = (d00 * v1y - d01 * v0y) * inv_denom
+    cw = -(ax * aw + ay * bw)
+    z10, z20 = zlin[:, 1] - zlin[:, 0], zlin[:, 2] - zlin[:, 0]
+    az = av * z10 + aw * z20
+    bz = bv * z10 + bw * z20
+    cz = zlin[:, 0] + cv * z10 + cw * z20
+    aff = jnp.stack([av, bv, cv, aw, bw, cw, az, bz, cz], axis=-1)
+
     box, box_valid = bound_box_batch(
         jnp.stack([sx, sy], axis=-1), height, width)
     valid &= box_valid                                   # Errors.EMPTY_Z / WRONG_MIN_MAX
 
     return {
-        "sx": sx, "sy": sy, "szlin": zlin, "inv_w": inv_w,
+        "sx": sx, "sy": sy, "szlin": zlin, "inv_w": inv_w, "aff": aff,
         "clip": clip, "bbox": box, "denom": denom, "valid": valid,
     }
