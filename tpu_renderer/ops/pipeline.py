@@ -518,10 +518,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             or (mc.has_norm and "norm" not in mc.win_kinds)
             or (mc.has_map_ks and "ks" not in mc.win_kinds)
             for mc in cfg.models)
-        zb_sign, tid, gbuffer = visibility_gbuffer_pallas(
-            faces, attrs, local_height, width, sign,
-            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
-            bins=bins[:2], with_tex_tables=needs_tables)
+        windows = None
         if sampler_on:
             # Window content blocks, row-padded to the scene-wide kind count
             # (models carry 16 rows per kind they sample). Scene._prepare
@@ -545,10 +542,18 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 parts.append(jnp.zeros((rp._SPEC,) + tuple(parts[0].shape[1:]),
                                        jnp.int32))
                 windows = jnp.concatenate(parts, axis=0)
-            samp, samp_mask = sample_textures_pallas(
-                faces, bins[:2], windows, tid, gbuffer[rp.GB_IU],
-                gbuffer[rp.GB_IV], local_height, width, n_kinds,
-                interpret=cfg.pallas_interpret)
+        # Texture sampling runs fused inside phase 1 (windows != None):
+        # winner masks, slab scans, and in-register iu/iv are shared instead
+        # of re-derived by a third kernel pass.
+        outs = visibility_gbuffer_pallas(
+            faces, attrs, local_height, width, sign,
+            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
+            bins=bins[:2], with_tex_tables=needs_tables,
+            windows=windows, n_kinds=n_kinds if windows is not None else 0)
+        if sampler_on:
+            zb_sign, tid, gbuffer, samp, samp_mask = outs
+        else:
+            zb_sign, tid, gbuffer = outs
     elif use_pallas and sharded:
         # Sharded Pallas: per-shard z/id kernels in global coordinates
         # (bit-identical pixel math; tile grids shift by row0), buffers

@@ -821,8 +821,10 @@ def _gb_interp_face(fdata_ref, f, X, rows, cols, put, with_tex_tables):
                   fdata_ref[f, X + 11])
     vv0, vv1, vv2 = (fdata_ref[f, X + 12], fdata_ref[f, X + 13],
                      fdata_ref[f, X + 14])
-    put(GB_IU, interp(u0, u1, u2))
-    put(GB_IV, interp(vv0, vv1, vv2))
+    iu_val = interp(u0, u1, u2)
+    iv_val = interp(vv0, vv1, vv2)
+    put(GB_IU, iu_val)
+    put(GB_IV, iv_val)
     # Vertex normal.
     nv = [fdata_ref[f, X + 15 + i] for i in range(9)]
     n = [interp(nv[0], nv[3], nv[6]),
@@ -862,14 +864,15 @@ def _gb_interp_face(fdata_ref, f, X, rows, cols, put, with_tex_tables):
     put(GB_NORM_SLOT + 3,
         fdata_ref[f, X + 31 + GB_NORM_SLOT + 3 - GB_KD_SLOT])
     put(GB_MODEL, fdata_ref[f, X + 41])
+    return iu_val, iv_val
 
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
-                                   "interpret", "with_tex_tables"))
+                                   "interpret", "with_tex_tables", "n_kinds"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                               with_debug=False, interpret=False, bins=None,
-                              with_tex_tables=True):
+                              with_tex_tables=True, windows=None, n_kinds=0):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -886,7 +889,12 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     (chunks n..2n-1) interpolates the G-buffer against the final ids — output
     blocks persist across the chunk steps of a tile.
 
-    Returns (zbuf sign-space, tid, gbuffer (GB_CHANNELS, H, W)).
+    With ``windows`` (the per-face texel window table, see
+    sample_textures_pallas), phase 1 also samples textures right after
+    interpolating iu/iv in-register — the winner mask, slab scan, and UV
+    math are shared instead of re-derived by a third kernel pass, and the
+    iu/iv G-buffer round-trip through HBM disappears. Returns
+    (zbuf, tid, gbuffer, samp, mask) in that case, else (zbuf, tid, gbuffer).
     """
     fdata0, idata = pack_faces(faces, with_debug)
     base_cols = fdata0.shape[1]
@@ -903,9 +911,17 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     X = base_cols                                  # extra-column base offset
+    sampling = windows is not None
+    if sampling:
+        sdata = _pad_rows_to(pack_sample_faces(faces), chunk)
+        wrows = windows.shape[1]
 
-    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref,
-               zb_ref, tid_ref, gb_ref):
+    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, *rest):
+        if sampling:
+            (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
+             mask_ref, spec, sync, sems, sem_sync) = rest
+        else:
+            zb_ref, tid_ref, gb_ref = rest
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         step = pl.program_id(2)
@@ -924,6 +940,17 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
             tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
             gb_ref[:] = jnp.zeros((GB_CHANNELS, TILE_H, TILE_W), jnp.float32)
+            if sampling:
+                samp_ref[:] = jnp.zeros((n_kinds, TILE_H, TILE_W), jnp.int32)
+                mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+
+        if sampling:
+            def spec_dma(buf, wb):
+                return pltpu.make_async_copy(
+                    win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
+
+            def prefetch(k, buf):
+                spec_dma(buf, sdata_ref[idx_ref[0, 0, k, 0], 1]).start()
 
         @pl.when(jnp.logical_not(phase))
         def _():
@@ -958,9 +985,23 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
         @pl.when(phase)
         def _():
+            if sampling:
+                @pl.when(count > 0)
+                def _():
+                    prefetch(0, 0)
+
             def gbody(k, _):
                 f = idx_ref[0, 0, k, 0]
                 gid = idata_ref[f, 5]
+                buf = jax.lax.rem(k, 2)
+                if sampling:
+                    # Start face k+1's speculative windows, then drain this
+                    # face's (same double-buffer protocol as the standalone
+                    # sampler kernel).
+                    @pl.when(k + 1 < count)
+                    def _():
+                        prefetch(k + 1, 1 - buf)
+                    spec_dma(buf, sdata_ref[f, 1]).wait()
                 s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
 
                 def slab(si, _):
@@ -975,8 +1016,16 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                             gb_ref[ch, pl.ds(s0, _FSLAB), :] = jnp.where(
                                 win, val, gb_ref[ch, pl.ds(s0, _FSLAB), :])
 
-                        _gb_interp_face(fdata_ref, f, X, rows, cols_s, put,
-                                        with_tex_tables)
+                        iu_val, iv_val = _gb_interp_face(
+                            fdata_ref, f, X, rows, cols_s, put,
+                            with_tex_tables)
+                        if sampling:
+                            @pl.when(sdata_ref[f, 4] > 0)
+                            def _():
+                                _sample_face_slab(
+                                    sdata_ref, f, buf, s0, win, iu_val,
+                                    iv_val, spec, sync, sem_sync, win_hbm,
+                                    samp_ref, mask_ref, n_kinds)
                     return 0
 
                 jax.lax.fori_loop(0, n_slabs, slab, 0)
@@ -984,50 +1033,84 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
             jax.lax.fori_loop(0, count, gbody, 0)
 
+    phase_fold = lambda st: st - n_chunks * (st >= n_chunks).astype(jnp.int32)
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, chunk, 1),
+            lambda ty, tx, st, s: (phase_fold(st), ty * n_tx + tx, 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (chunk, fdata.shape[1]),
+            lambda ty, tx, st, s: (phase_fold(st), 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (chunk, _I_COLS),
+            lambda ty, tx, st, s: (phase_fold(st), 0),
+            memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((GB_CHANNELS, TILE_H, TILE_W),
+                     lambda ty, tx, st, s: (0, ty, tx),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
+        jax.ShapeDtypeStruct(
+            (GB_CHANNELS, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
+    ]
+    scratch_shapes = []
+    inputs = [counts.reshape(-1), idx, fdata, idata]
+    if sampling:
+        in_specs += [
+            pl.BlockSpec((chunk, _S_COLS),
+                         lambda ty, tx, st, s: (phase_fold(st), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # windows (HBM)
+        ]
+        out_specs += [
+            pl.BlockSpec((n_kinds, TILE_H, TILE_W),
+                         lambda ty, tx, st, s: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(
+                (n_kinds, n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
+            pltpu.VMEM((wrows, WIN_C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        inputs += [sdata, windows]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ty, n_tx, 2 * n_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, chunk, 1),
-                lambda ty, tx, st, s: (
-                    st - n_chunks * (st >= n_chunks).astype(jnp.int32),
-                    ty * n_tx + tx, 0, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (chunk, fdata.shape[1]),
-                lambda ty, tx, st, s: (
-                    st - n_chunks * (st >= n_chunks).astype(jnp.int32), 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (chunk, _I_COLS),
-                lambda ty, tx, st, s: (
-                    st - n_chunks * (st >= n_chunks).astype(jnp.int32), 0),
-                memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB_CHANNELS, TILE_H, TILE_W),
-                         lambda ty, tx, st, s: (0, ty, tx),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
-    zb, tid, gb = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
-            jax.ShapeDtypeStruct(
-                (GB_CHANNELS, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(counts.reshape(-1), idx, fdata, idata)
-    return (zb[:height, :width], tid[:height, :width],
-            gb[:, :height, :width])
+    )(*inputs)
+    zb, tid, gb = outs[:3]
+    res = (zb[:height, :width], tid[:height, :width],
+           gb[:, :height, :width])
+    if sampling:
+        samp, mask = outs[3], outs[4]
+        res += (samp[:, :height, :width], mask[:height, :width])
+    return res
 
 
 # ------------------------------------------------- windowed texture sampler
@@ -1036,6 +1119,130 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 # [3] nwc (window grid dims), [4] kind bitmask, [5] th, [6] tw (texture
 # shape), [7] rbase, [8] cbase (unwrapped texel origin of the window grid).
 _S_COLS = 16
+
+
+def _sample_face_slab(sdata_ref, f, buf, s0, win, iu_s, iv_s, spec, sync,
+                      sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
+                      sweep=True):
+    """Window visits + gather sweep for one face over one winning pixel slab.
+
+    Shared by the standalone sampler kernel and the fused
+    visibility+G-buffer kernel (which samples right after interpolating
+    iu/iv in-register). ``win`` is the winner mask for rows
+    [s0, s0+_SLAB); the face's speculative windows must already be resident
+    in ``spec[buf]``.
+
+    Reference get_UV indexing (core.py:138-143), identical float ops to
+    pipeline._wrap_index for bit-parity with the XLA gather path.
+    """
+    wb = sdata_ref[f, 1]
+    nwr = sdata_ref[f, 2]
+    nwc = sdata_ref[f, 3]
+    kmask = sdata_ref[f, 4]
+    th = sdata_ref[f, 5]
+    tw = sdata_ref[f, 6]
+    rbase = sdata_ref[f, 7]
+    cbase = sdata_ref[f, 8]
+    thf = th.astype(jnp.float32)
+    twf = tw.astype(jnp.float32)
+    wn = nwr * nwc
+    wn_spec = jnp.minimum(wn, _SPEC)
+
+    cf = jnp.trunc(jnp.clip(iu_s, max=1.0) * (twf - 1.0))
+    col = (cf - twf * jnp.floor(cf / twf)).astype(jnp.int32)
+    rf = jnp.trunc((1.0 - jnp.clip(iv_s, max=1.0)) * (thf - 1.0))
+    row = (rf - thf * jnp.floor(rf / thf)).astype(jnp.int32)
+
+    def process_window(wv, rel_r, rel_c):
+        """Sample every kind plane of one window over the pixel slab."""
+        inwin = ((rel_r >= 0) & (rel_r < WIN_R) &
+                 (rel_c >= 0) & (rel_c < WIN_C) & win)
+        rel_c_s = jnp.where(inwin, rel_c, 0)
+
+        @pl.when(jnp.any(inwin))
+        def _():
+            msl = mask_ref[pl.ds(s0, _SLAB), :]
+            mask_ref[pl.ds(s0, _SLAB), :] = jnp.where(
+                inwin, msl | kmask, msl)
+            # NOTE: don't gate the row sweep with per-row pl.when on a
+            # footprint range — measured 1.6x SLOWER in-frame (Mosaic
+            # scalar branches cost more than the skipped 1-VREG gathers).
+            # The row-select mask is shared across kinds, and absent
+            # kinds sample garbage on purpose: the mask plane only ever
+            # carries the winning face's kind bits for a pixel (gids are
+            # unique), so unsampled planes are never read there.
+            if not sweep:
+                return
+            accs = [samp_ref[k, pl.ds(s0, _SLAB), :]
+                    for k in range(n_kinds)]
+            for rr in range(WIN_R):
+                sel = inwin & (rel_r == rr)
+                for k in range(n_kinds):
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(wv[WIN_R * k + rr:
+                                           WIN_R * k + rr + 1, :],
+                                         (_SLAB, TILE_W)),
+                        rel_c_s, axis=1)
+                    accs[k] = jnp.where(sel, g, accs[k])
+            for k in range(n_kinds):
+                samp_ref[k, pl.ds(s0, _SLAB), :] = accs[k]
+
+    def visit_at(wc_lo, wc_hi):
+        def visit(v, carry):
+            wr, wc = carry
+            off = wr * nwc + wc
+            # Window texel origin, wrapped into the texture (scalar f32
+            # floor-mod — no integer division on TPU); rel of wrapped texel
+            # coords corrected by one texture period where the window
+            # straddles the wrap seam.
+            r0 = (rbase + (wr << 4)).astype(jnp.float32)
+            c0 = (cbase + (wc << 7)).astype(jnp.float32)
+            r0w = (r0 - thf * jnp.floor(r0 / thf)).astype(jnp.int32)
+            c0w = (c0 - twf * jnp.floor(c0 / twf)).astype(jnp.int32)
+            rel_r = row - r0w
+            rel_r = rel_r + th * (rel_r < -(th - WIN_R))
+            rel_c = col - c0w
+            rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
+
+            @pl.when(off < wn_spec)
+            def _():
+                process_window(spec[buf, off], rel_r, rel_c)
+
+            @pl.when(off >= wn_spec)
+            def _():
+                dma = pltpu.make_async_copy(win_hbm.at[wb + off], sync,
+                                            sem_sync)
+                dma.start()
+                dma.wait()
+                process_window(sync[:], rel_r, rel_c)
+
+            wc2 = jnp.where(wc + 1 > wc_hi, wc_lo, wc + 1)
+            wr2 = jnp.where(wc + 1 > wc_hi, wr + 1, wr)
+            return (wr2, wc2)
+        return visit
+
+    # Fully-speculative faces (the common case: a 1-2 window grid) visit
+    # every window — the 4 masked full-reduces of the texel footprint cost
+    # more than the 0-3 extra inwin-masked visits they could prune.
+    @pl.when(wn <= _SPEC)
+    def _():
+        jax.lax.fori_loop(0, wn, visit_at(0, nwc - 1), (0, 0))
+
+    @pl.when(wn > _SPEC)
+    def _():
+        # Slab texel footprint (winning pixels) -> the window subgrid it
+        # intersects.
+        big = jnp.int32(2 ** 30)
+        trmin = jnp.min(jnp.where(win, row, big))
+        trmax = jnp.max(jnp.where(win, row, -big))
+        tcmin = jnp.min(jnp.where(win, col, big))
+        tcmax = jnp.max(jnp.where(win, col, -big))
+        wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
+        wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
+        wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
+        wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
+        nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
+        jax.lax.fori_loop(0, nv, visit_at(wc0, wc1), (wr0, wc0))
 
 #: Texel rows per window / per kind plane inside a window-content row block.
 WIN_R = 16
@@ -1142,50 +1349,12 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         def _():
             prefetch(0, 0)
 
-        def process_window(wv, s0, rel_r, rel_c, win, kmask):
-            """Sample every kind plane of one window over one pixel slab."""
-            inwin = ((rel_r >= 0) & (rel_r < WIN_R) &
-                     (rel_c >= 0) & (rel_c < WIN_C) & win)
-            rel_c_s = jnp.where(inwin, rel_c, 0)
-
-            @pl.when(jnp.any(inwin))
-            def _():
-                msl = mask_ref[pl.ds(s0, _SLAB), :]
-                mask_ref[pl.ds(s0, _SLAB), :] = jnp.where(
-                    inwin, msl | kmask, msl)
-                # NOTE: don't gate the row sweep with per-row pl.when on a
-                # footprint range — measured 1.6x SLOWER in-frame (Mosaic
-                # scalar branches cost more than the skipped 1-VREG gathers).
-                # The row-select mask is shared across kinds, and absent
-                # kinds sample garbage on purpose: the mask plane only ever
-                # carries the winning face's kind bits for a pixel (gids are
-                # unique), so unsampled planes are never read there.
-                if not _dbg_sweep:
-                    return
-                accs = [samp_ref[k, pl.ds(s0, _SLAB), :]
-                        for k in range(n_kinds)]
-                for rr in range(WIN_R):
-                    sel = inwin & (rel_r == rr)
-                    for k in range(n_kinds):
-                        g = jnp.take_along_axis(
-                            jnp.broadcast_to(wv[WIN_R * k + rr:
-                                               WIN_R * k + rr + 1, :],
-                                             (_SLAB, TILE_W)),
-                            rel_c_s, axis=1)
-                        accs[k] = jnp.where(sel, g, accs[k])
-                for k in range(n_kinds):
-                    samp_ref[k, pl.ds(s0, _SLAB), :] = accs[k]
-
         def body(k, _):
             buf = jax.lax.rem(k, 2)
             f = idx_ref[0, 0, k, 0]
             gid = sdata_ref[f, 0]
             wb = sdata_ref[f, 1]
-            nwr = sdata_ref[f, 2]
-            nwc = sdata_ref[f, 3]
             kmask = sdata_ref[f, 4]
-            wn = nwr * nwc
-            wn_spec = jnp.minimum(wn, _SPEC)
 
             # Start face k+1's speculative windows, then drain this face's.
             @pl.when((k + 1 < count) & _dbg_dma)
@@ -1196,13 +1365,6 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
 
             @pl.when(kmask > 0)
             def _():
-                th = sdata_ref[f, 5]
-                tw = sdata_ref[f, 6]
-                rbase = sdata_ref[f, 7]
-                cbase = sdata_ref[f, 8]
-                thf = th.astype(jnp.float32)
-                twf = tw.astype(jnp.float32)
-
                 # Pixel-row slabs covering the face's bbox within this tile:
                 # every per-visit vector op shrinks from the (64, 128) tile
                 # to a (_SLAB, 128) slab, the dominant sampler cost.
@@ -1218,83 +1380,12 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
 
                     @pl.when(jnp.any(win))
                     def _():
-                        # Reference get_UV indexing (core.py:138-143),
-                        # identical float ops to pipeline._wrap_index for
-                        # bit-parity with the XLA gather path.
                         iu_s = iu_ref[pl.ds(s0, _SLAB), :]
                         iv_s = iv_ref[pl.ds(s0, _SLAB), :]
-                        cf = jnp.trunc(jnp.clip(iu_s, max=1.0) * (twf - 1.0))
-                        col = (cf - twf * jnp.floor(cf / twf)
-                               ).astype(jnp.int32)
-                        rf = jnp.trunc((1.0 - jnp.clip(iv_s, max=1.0))
-                                       * (thf - 1.0))
-                        row = (rf - thf * jnp.floor(rf / thf)
-                               ).astype(jnp.int32)
-
-                        def visit_at(wc_lo, wc_hi):
-                            def visit(v, carry):
-                                wr, wc = carry
-                                off = wr * nwc + wc
-                                # Window texel origin, wrapped into the
-                                # texture (scalar f32 floor-mod — no integer
-                                # division on TPU); rel of wrapped texel
-                                # coords corrected by one texture period
-                                # where the window straddles the wrap seam.
-                                r0 = (rbase + (wr << 4)).astype(jnp.float32)
-                                c0 = (cbase + (wc << 7)).astype(jnp.float32)
-                                r0w = (r0 - thf * jnp.floor(r0 / thf)
-                                       ).astype(jnp.int32)
-                                c0w = (c0 - twf * jnp.floor(c0 / twf)
-                                       ).astype(jnp.int32)
-                                rel_r = row - r0w
-                                rel_r = rel_r + th * (rel_r < -(th - WIN_R))
-                                rel_c = col - c0w
-                                rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
-
-                                @pl.when(off < wn_spec)
-                                def _():
-                                    process_window(spec[buf, off], s0, rel_r,
-                                                   rel_c, win, kmask)
-
-                                @pl.when(off >= wn_spec)
-                                def _():
-                                    dma = pltpu.make_async_copy(
-                                        win_hbm.at[wb + off], sync, sem_sync)
-                                    dma.start()
-                                    dma.wait()
-                                    process_window(sync[:], s0, rel_r, rel_c,
-                                                   win, kmask)
-
-                                wc2 = jnp.where(wc + 1 > wc_hi, wc_lo, wc + 1)
-                                wr2 = jnp.where(wc + 1 > wc_hi, wr + 1, wr)
-                                return (wr2, wc2)
-                            return visit
-
-                        # Fully-speculative faces (the common case: a 1-2
-                        # window grid) visit every window — the 4 masked
-                        # full-reduces of the texel footprint cost more than
-                        # the 0-3 extra inwin-masked visits they could prune.
-                        @pl.when(wn <= _SPEC)
-                        def _():
-                            jax.lax.fori_loop(0, wn, visit_at(0, nwc - 1),
-                                              (0, 0))
-
-                        @pl.when(wn > _SPEC)
-                        def _():
-                            # Slab texel footprint (winning pixels) -> the
-                            # window subgrid it intersects.
-                            big = jnp.int32(2 ** 30)
-                            trmin = jnp.min(jnp.where(win, row, big))
-                            trmax = jnp.max(jnp.where(win, row, -big))
-                            tcmin = jnp.min(jnp.where(win, col, big))
-                            tcmax = jnp.max(jnp.where(win, col, -big))
-                            wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
-                            wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
-                            wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
-                            wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
-                            nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
-                            jax.lax.fori_loop(0, nv, visit_at(wc0, wc1),
-                                              (wr0, wc0))
+                        _sample_face_slab(
+                            sdata_ref, f, buf, s0, win, iu_s, iv_s, spec,
+                            sync, sem_sync, win_hbm, samp_ref, mask_ref,
+                            n_kinds, sweep=_dbg_sweep)
                     return 0
 
                 if _dbg_scan:
