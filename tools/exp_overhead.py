@@ -96,7 +96,7 @@ def main():
     def setup(d):
         cam_m = pp._cam_matrices(cfg, d["camera"], cfg.cam_projection_type)
         faces, _ = pp._build_face_batch(cfg, d, cam_m, None)
-        fdata, idata = pack_faces(faces, False)
+        fdata = pack_faces(faces, False)
         return fdata, idata
 
     fdata, idata = jax.tree_util.tree_map(jnp.asarray, setup(dyn))

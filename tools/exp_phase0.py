@@ -32,7 +32,7 @@ def make_vis(variant, height, width, sign):
     n_tx = _cdiv(width, TILE_W)
 
     def build(faces, bins):
-        fdata, idata = pack_faces(faces, False)
+        fdata = pack_faces(faces, False)
         g0 = fdata.shape[0]
         chunk = min(rp.FACE_CHUNK, -(-g0 // 128) * 128)
         fdata = _pad_rows_to(fdata, chunk)

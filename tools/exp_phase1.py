@@ -152,7 +152,7 @@ def main():
     def setup(d):
         cam_m = pp._cam_matrices(cfg, d["camera"], cfg.cam_projection_type)
         faces, attrs = pp._build_face_batch(cfg, d, cam_m, None)
-        fdata0, idata = pack_faces(faces, False)
+        fdata0 = pack_faces(faces, False)
         fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
         bins = rp.face_bins(faces, H, W)
         _, tid = rp.visibility_pallas(faces, H, W, sign, bins=bins[:2])

@@ -28,13 +28,13 @@ TW = 128
 
 
 def mk_kernel(style):
-    def kernel(fdata_ref, zb_ref, tid_ref):
+    def kernel(fdata_ref, idx_ref, zb_ref, tid_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, (SLAB, TW), 0).astype(
             jnp.float32)
         cols = jax.lax.broadcasted_iota(jnp.int32, (SLAB, TW), 1).astype(
             jnp.float32)
-        tid_ref[:] = jnp.zeros((SLAB, TW), jnp.int32)
-        zb_ref[:] = jnp.full((SLAB, TW), 1e30, jnp.float32)
+        tid_ref[:] = jnp.zeros((32, TW), jnp.int32)
+        zb_ref[:] = jnp.full((32, TW), 1e30, jnp.float32)
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (SLAB, TW), 1) * 0
 
         def bcast(row_v, c):
@@ -42,7 +42,10 @@ def mk_kernel(style):
             return jnp.take_along_axis(row_v, lane_idx + c, axis=1)
 
         def body(k, _):
-            f = jax.lax.rem(k * 7, 512)
+            if style.endswith("_idx"):
+                f = idx_ref[k, 0]
+            else:
+                f = jax.lax.rem(k * 7, 512)
             if style == "scalar_bary":
                 sx0, sx1, sx2 = (fdata_ref[f, 0], fdata_ref[f, 1],
                                  fdata_ref[f, 2])
@@ -77,6 +80,7 @@ def mk_kernel(style):
             else:
                 row = fdata_ref[pl.ds(f, 1), :]
                 row_v = jnp.broadcast_to(row, (SLAB, TW))
+                row_v2 = row_v
                 av, bv, cv = bcast(row_v, 0), bcast(row_v, 1), bcast(row_v, 2)
                 aw, bw, cw = bcast(row_v, 3), bcast(row_v, 4), bcast(row_v, 5)
                 az, bz, cz = bcast(row_v, 6), bcast(row_v, 7), bcast(row_v, 8)
@@ -85,38 +89,72 @@ def mk_kernel(style):
                 u = 1.0 - v - w
                 z = az * cols + bz * rows + cz
             cov = (u >= 0) & (v >= 0) & (w >= 0)
-            upd = cov & (zb_ref[:] >= z)
-            tid_ref[:] = jnp.where(upd, k, tid_ref[:])
-            zb_ref[:] = jnp.where(upd, z, zb_ref[:])
+            if "wmask" in style:
+                cov &= ((cols >= bcast(row_v2, 12)) &
+                        (cols < bcast(row_v2, 13)) &
+                        (rows >= bcast(row_v2, 14)) &
+                        (rows < bcast(row_v2, 15)))
+            if "dslice" in style:
+                s0 = (f & 3) * 8
+
+                def apply():
+                    zb_s = zb_ref[pl.ds(s0, SLAB), :]
+                    upd = cov & (zb_s >= z)
+                    tid_ref[pl.ds(s0, SLAB), :] = jnp.where(
+                        upd, k, tid_ref[pl.ds(s0, SLAB), :])
+                    zb_ref[pl.ds(s0, SLAB), :] = jnp.where(upd, z, zb_s)
+                if "branch" in style:
+                    ppc = (f & 7) == 3
+
+                    @pl.when(ppc)
+                    def _():
+                        apply()
+
+                    @pl.when(jnp.logical_not(ppc))
+                    def _():
+                        apply()
+                else:
+                    apply()
+            else:
+                upd = cov & (zb_ref[pl.ds(0, SLAB), :] >= z)
+                tid_ref[pl.ds(0, SLAB), :] = jnp.where(
+                    upd, k, tid_ref[pl.ds(0, SLAB), :])
+                zb_ref[pl.ds(0, SLAB), :] = jnp.where(
+                    upd, z, zb_ref[pl.ds(0, SLAB), :])
             return 0
 
         jax.lax.fori_loop(0, K, body, 0)
     return kernel
 
 
-def run(style, fdata):
+def run(style, fdata, idx):
     zb, tid = pl.pallas_call(
         mk_kernel(style),
-        out_shape=[jax.ShapeDtypeStruct((SLAB, TW), jnp.float32),
-                   jax.ShapeDtypeStruct((SLAB, TW), jnp.int32)],
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((32, TW), jnp.float32),
+                   jax.ShapeDtypeStruct((32, TW), jnp.int32)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)],
-    )(fdata)
+    )(fdata, idx)
     return tid
 
 
 def main():
     rng = np.random.RandomState(0)
     fdata = jnp.asarray(rng.randn(512, 128).astype(np.float32))
+    idx = jnp.asarray((rng.permutation(np.arange(K) * 7 % 512))[:, None]
+                      .astype(np.int32))
 
     def mixf(a, r):
         return a + (r >> 30).astype(a.dtype)
 
     freq_ghz = 0.94
     res = run_traced_each(
-        [(s, lambda r, fd, s=s: run(s, mixf(fd, r))[:8, :1])
-         for s in ("scalar_bary", "scalar_affine", "vreg_affine")],
+        [(s, lambda r, fd, s=s: run(s, mixf(fd, r), idx)[:8, :1])
+         for s in ("vreg_affine", "vreg_affine_idx", "vreg_affine_wmask_idx",
+                   "vreg_affine_wmask_dslice_idx",
+                   "vreg_affine_wmask_dslice_branch_idx")],
         (fdata,))
     for name, ms, _ in res:
         cyc = ms * 1e-3 * freq_ghz * 1e9 / K

@@ -507,7 +507,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                                                     sample_textures_pallas,
                                                     visibility_gbuffer_pallas)
         from tpu_renderer.ops import raster_pallas as rp
-        bins = face_bins(faces, local_height, width)
+        bins = face_bins(faces, local_height, width,
+                         with_debug=cfg.has_debug_camera)
         sampler_on = n_kinds > 0 and use_tex_kernel
         # With the windowed sampler active, every windowed kind skips the
         # XLA gather, so phase 1 needn't interpolate the slot/shape table
@@ -561,7 +562,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         from tpu_renderer.ops.raster_pallas import (face_bins, gbuffer_pallas,
                                                     tidpass_pallas,
                                                     visibility_pallas)
-        bins = face_bins(faces, local_height, width, row0=row0)
+        bins = face_bins(faces, local_height, width, row0=row0,
+                         with_debug=cfg.has_debug_camera)
         zb_local, tid_local = visibility_pallas(
             faces, local_height, width, sign,
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,

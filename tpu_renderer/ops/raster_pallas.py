@@ -47,9 +47,13 @@ TILE_H = 64
 TILE_W = 128
 
 # Float payload layout for faces (pack_faces):
-#   [0:3] sx, [3:6] sy, [6:9] z_lin, [9:12] inv_w,
-#   [12:30] e_cam (3 verts x 6 clip conds), [30:48] e_dbg (optional)
-_F_BASE = 12
+#   [0:9] affine barycentric/z coefficients (av bv cv aw bw cw az bz cz),
+#   [9:12] per-vertex 1/w, [12:16] bbox as f32 (x0 x1 y0 y1),
+#   [16:34] e_cam (3 verts x 6 clip conds), [34:52] e_dbg (optional).
+# Kernels read the row as ONE dynamic (1, 128) VMEM load and pick scalars
+# with constant-lane dynamic_gather broadcasts (~2x cheaper per visit than
+# dynamic scalar reads, tools/exp_visit.py) — pack_faces pads rows to 128.
+_F_BASE = 16
 _F_CLIP = 18
 
 # Int payload layout for faces: [0:4] bbox, [4] flags (1 valid | 2 clip_en |
@@ -61,8 +65,16 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+# Packed bin-entry layout (bin_primitives with flags): one i32 carries the
+# chunk-local index, the face_flags word, and the tile-relative bbox rows.
+_BIN_FLAGS = 13          # requires FACE_CHUNK <= 2**13
+_BIN_RLO = 17
+_BIN_RHI = 24
+_BIN_FMASK = (1 << _BIN_FLAGS) - 1
+
+
 def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
-                   edge_coeffs=None, row0=0):
+                   edge_coeffs=None, row0=0, flags=None):
     """Tile/primitive intersection lists.
 
     bbox: (N, 4) int32 ceil'd clamped [x0, x1, y0, y1) windows; active: (N,).
@@ -105,11 +117,29 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
         # eighth-pixel slack absorbs any fp disagreement with the kernel's
         # barycentric coverage test.
         overlap &= cm.min(axis=-1) >= -0.125
-    overlap = overlap.reshape(n_ty * n_tx, n)
-    counts = overlap.sum(axis=1, dtype=jnp.int32)
-    # Stable argsort on ~overlap compacts overlapping face ids (in face order)
-    # to each row's prefix — cheaper than scatter-based nonzero on TPU.
-    idx = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    counts = overlap.reshape(n_ty * n_tx, n).sum(axis=1, dtype=jnp.int32)
+    if flags is None:
+        payload = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None, None], overlap.shape)
+    else:
+        # Pack everything a kernel visit needs as scalars into the entry
+        # itself — per-visit dynamic scalar reads from a VMEM table cost
+        # ~38 cycles EACH (tools/exp_visit.py); one read + a shift/mask
+        # decode replaces five. Tile-relative bbox rows (clipped to
+        # [0, TILE_H]) fit 7 bits; see _BIN_* for the layout.
+        rlo_t = jnp.clip(bbox[None, :, 2] - row0
+                         - (ty * tile_h)[:, None], 0, tile_h)
+        rhi_t = jnp.clip(bbox[None, :, 3] - row0
+                         - (ty * tile_h)[:, None], 0, tile_h)
+        pay_y = (rlo_t << _BIN_RLO) | (rhi_t << _BIN_RHI)     # (Ty, N)
+        pay_n = jnp.arange(n, dtype=jnp.int32) | (flags << _BIN_FLAGS)
+        payload = jnp.broadcast_to(
+            (pay_y[:, None] + pay_n[None, None]), overlap.shape)
+    # Stable key sort on ~overlap compacts overlapping entries (in face
+    # order) to each row's prefix — cheaper than scatter-based nonzero.
+    key = (~overlap).reshape(n_ty * n_tx, n).astype(jnp.int32)
+    _, idx = jax.lax.sort([key, payload.reshape(n_ty * n_tx, n)],
+                          dimension=1, num_keys=1, is_stable=True)
     return counts, idx
 
 
@@ -142,104 +172,115 @@ def _face_edge_coeffs(faces_padded):
     return A, B, K, mask
 
 
+def _conds(clip):                                 # (G, 3, 4) -> (G, 3, 6)
+    x, y, z, w = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
+    return jnp.stack([x + w, w - x, y + w, w - y, z + w, w - z], axis=-1)
+
+
+def face_flags(faces, with_debug):
+    """Per-face kernel flag word: 1 valid | 2 clip_en | 4 z_write | 8 needs
+    per-pixel clip. Bit 8: a clip-enabled face with all three vertices
+    strictly inside every clip space (every inv_w-scaled condition > 0,
+    which also forces w > 0 and hence S > 0 on covered pixels) passes the
+    interpolated test at every interior pixel by convexity — the kernels
+    skip the 6-plane evaluation for it, exactly. clip_en=False faces skip
+    the test like the XLA path (raster_xla.py:93, triangular.py:80).
+
+    Shared by pack_faces and face_bins (the bin lists carry the flags in
+    their packed entries, see bin_primitives)."""
+    e_cam = _conds(faces["clip"]) * faces["inv_w"][..., None]
+    all_inside = jnp.all(e_cam > 0, axis=(1, 2))
+    if with_debug:
+        e_dbg = _conds(faces["clip_dbg"]) * faces["inv_w"][..., None]
+        all_inside &= jnp.all(e_dbg > 0, axis=(1, 2))
+    needs_ppc = faces["clip_en"] & ~all_inside
+    return (faces["valid"].astype(jnp.int32)
+            | (faces["clip_en"].astype(jnp.int32) << 1)
+            | (faces["z_write"].astype(jnp.int32) << 2)
+            | (needs_ppc.astype(jnp.int32) << 3))
+
+
 def pack_faces(faces, with_debug):
-    """faces dict (ops/vertex.gather_faces layout) -> (fdata f32, idata i32).
+    """faces dict (ops/vertex.gather_faces layout) -> fdata f32.
 
     The clip planes are pre-scaled per vertex: e[i, j] = inv_w[i] * cond[i, j]
     with cond = (x+w, w-x, y+w, w-y, z+w, w-z) of the clip-space vertex.
     """
     g = faces["sx"].shape[0]
-
-    def conds(clip):                                  # (G, 3, 4) -> (G, 3, 6)
-        x, y, z, w = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
-        return jnp.stack([x + w, w - x, y + w, w - y, z + w, w - z], axis=-1)
-
-    # [0:9] affine barycentric/z coefficients (vertex.gather_faces),
-    # [9:12] per-vertex 1/w for the perspective-corrected clip normalizer.
-    cols = [faces["aff"], faces["inv_w"]]
-    e_cam = conds(faces["clip"]) * faces["inv_w"][..., None]
+    # Layout: see _F_BASE comment above.
+    cols = [faces["aff"], faces["inv_w"],
+            faces["bbox"].astype(jnp.float32)]
+    e_cam = _conds(faces["clip"]) * faces["inv_w"][..., None]
     cols.append(e_cam.reshape(g, 18))
-    all_inside = jnp.all(e_cam > 0, axis=(1, 2))
     if with_debug:
-        e_dbg = conds(faces["clip_dbg"]) * faces["inv_w"][..., None]
+        e_dbg = _conds(faces["clip_dbg"]) * faces["inv_w"][..., None]
         cols.append(e_dbg.reshape(g, 18))
-        all_inside &= jnp.all(e_dbg > 0, axis=(1, 2))
-    fdata = jnp.concatenate(cols, axis=1)
-
-    # Per-pixel clip is needed only for clip-enabled faces that aren't
-    # wholly inside every clip space: a face with all three vertices strictly
-    # inside (every inv_w-scaled condition > 0, which also forces w > 0 and
-    # hence S > 0 on covered pixels) passes the interpolated test at every
-    # interior pixel by convexity — the kernels skip the 18 scalar reads +
-    # 6-plane evaluation for them, exactly. clip_en=False faces skip the test
-    # like the XLA path (raster_xla.py:93, reference triangular.py:80).
-    needs_ppc = faces["clip_en"] & ~all_inside
-    flags = (faces["valid"].astype(jnp.int32)
-             | (faces["clip_en"].astype(jnp.int32) << 1)
-             | (faces["z_write"].astype(jnp.int32) << 2)
-             | (needs_ppc.astype(jnp.int32) << 3))
-    idata = jnp.zeros((g, _I_COLS), jnp.int32)
-    idata = idata.at[:, 0:4].set(faces["bbox"])
-    idata = idata.at[:, 4].set(flags)
-    idata = idata.at[:, 5].set(faces["gid"])
-    return fdata, idata
+    return jnp.concatenate(cols, axis=1)
 
 
-def _face_tile_cov(fdata_ref, f, rows, cols, with_debug, with_clip):
+def _face_row(fdata_ref, f, shape):
+    """Per-visit face-row accessor: one dynamic (1, 128) VMEM load, scalars
+    picked as constant-lane dynamic_gather broadcasts (a VREG lane shuffle,
+    ~2x cheaper per visit than dynamic scalar reads — tools/exp_visit.py).
+    ``shape`` must have exactly 128 lanes; fdata rows are 128-padded."""
+    row = jnp.broadcast_to(fdata_ref[pl.ds(f, 1), :], shape)
+    zero = jax.lax.broadcasted_iota(jnp.int32, shape, 1) * 0
+
+    def co(c):
+        return jnp.take_along_axis(row, zero + c, axis=1)
+    return co
+
+
+def _face_tile_cov(co, rows, cols, with_debug, with_clip):
     """Coverage ∧ sign-space depth for one face over a (TH, TW) tile block.
 
     Affine evaluation — the same coefficients and expression as
-    raster_xla.face_fragments, so the backends stay bit-identical.
+    raster_xla.face_fragments, so the backends stay bit-identical. ``co(c)``
+    broadcasts fdata column c (see _face_row).
     """
-    v = fdata_ref[f, 0] * cols + fdata_ref[f, 1] * rows + fdata_ref[f, 2]
-    w = fdata_ref[f, 3] * cols + fdata_ref[f, 4] * rows + fdata_ref[f, 5]
+    v = co(0) * cols + co(1) * rows + co(2)
+    w = co(3) * cols + co(4) * rows + co(5)
     u = 1.0 - v - w
     cov = (u >= 0) & (v >= 0) & (w >= 0)
 
     if with_clip:
-        iw0, iw1, iw2 = fdata_ref[f, 9], fdata_ref[f, 10], fdata_ref[f, 11]
-        s = u * iw0 + v * iw1 + w * iw2
+        s = u * co(9) + v * co(10) + w * co(11)
         n_spaces = 2 if with_debug else 1
         ok = s != 0                      # S == 0 -> reference NaN -> dropped
         for space in range(n_spaces):
             base = _F_BASE + space * _F_CLIP
             for j in range(6):
-                q = (u * fdata_ref[f, base + j] +
-                     v * fdata_ref[f, base + 6 + j] +
-                     w * fdata_ref[f, base + 12 + j])
+                q = (u * co(base + j) + v * co(base + 6 + j) +
+                     w * co(base + 12 + j))
                 # q/S > 0  <=>  (q > 0) == (S > 0), S != 0.
                 ok &= (q > 0) == (s > 0)
         cov &= ok
 
-    z = fdata_ref[f, 6] * cols + fdata_ref[f, 7] * rows + fdata_ref[f, 8]
+    z = co(6) * cols + co(7) * rows + co(8)
     return cov, z
 
 
-def _window_mask(idata_ref, f, rows, cols):
-    b0 = idata_ref[f, 0].astype(jnp.float32)
-    b1 = idata_ref[f, 1].astype(jnp.float32)
-    b2 = idata_ref[f, 2].astype(jnp.float32)
-    b3 = idata_ref[f, 3].astype(jnp.float32)
-    return (cols >= b0) & (cols < b1) & (rows >= b2) & (rows < b3)
+def _window_mask(co, rows, cols):
+    return ((cols >= co(12)) & (cols < co(13)) &
+            (rows >= co(14)) & (rows < co(15)))
 
 
-def _visit_claim(fdata_ref, idata_ref, f, flags, rows, cols, with_debug,
-                 apply):
+def _visit_claim(fdata_ref, f, flags, rows, cols, with_debug, apply):
     """Coverage ∧ window for face f on a pixel block, then ``apply(cov, z)``.
 
-    The per-visit cost is dominated by dynamic scalar reads from the face
-    tables; the per-pixel clip test alone reads 18 (36 with a debug camera)
-    plane scalars. pack_faces precomputes whether the face needs it (flags
+    The per-pixel clip test reads 18 (36 with a debug camera) plane
+    coefficients. pack_faces precomputes whether the face needs it (flags
     bit 8 — clip-enabled and not wholly inside); the two pl.when branches let
-    the common all-inside face skip those reads entirely (lax.cond with
-    vector carries doesn't lower in Mosaic, but ref-mutating pl.when does).
+    the common all-inside face skip that work (lax.cond with vector carries
+    doesn't lower in Mosaic, but ref-mutating pl.when does).
     """
     ppc = (flags & 8) > 0
+    co = _face_row(fdata_ref, f, rows.shape)
 
     def run(with_clip):
-        cov, z = _face_tile_cov(fdata_ref, f, rows, cols, with_debug,
+        cov, z = _face_tile_cov(co, rows, cols, with_debug,
                                 with_clip=with_clip)
-        cov &= _window_mask(idata_ref, f, rows, cols)
+        cov &= _window_mask(co, rows, cols)
         cov &= (flags & 1) > 0
         apply(cov, z)
 
@@ -261,16 +302,53 @@ _FSLAB = 16
 _FSLAB_SHIFT = _FSLAB.bit_length() - 1
 
 
-def _face_slabs(idata_ref, f, y0i):
-    """(s_base, n_slabs) of _FSLAB-row slabs covering face f's bbox rows
-    within the tile starting at global row ``y0i``. Slab starts stay
-    8-aligned; the caller clamps each start to TILE_H - _FSLAB (overlap is
-    harmless: coverage ∧ bbox-window masking makes revisits idempotent)."""
-    r_lo = jnp.clip(idata_ref[f, 2] - y0i, 0, TILE_H)
-    r_hi = jnp.clip(idata_ref[f, 3] - y0i, 0, TILE_H)
+def _decode_bin(e):
+    """Unpack a bin entry (see _BIN_*): (chunk-local index, flags, slab
+    base, slab count). Slab starts stay 8-aligned; callers clamp each start
+    to TILE_H - _FSLAB (overlap is harmless: coverage ∧ bbox-window masking
+    makes revisits idempotent)."""
+    f = e & _BIN_FMASK
+    flags = (e >> _BIN_FLAGS) & 0xF
+    r_lo = (e >> _BIN_RLO) & 0x7F
+    r_hi = (e >> _BIN_RHI) & 0x7F
     s_base = r_lo & ~7
     n_slabs = (r_hi - s_base + _FSLAB - 1) >> _FSLAB_SHIFT
-    return s_base, n_slabs
+    return f, flags, s_base, n_slabs
+
+
+def _for_each_slab(s_base, n_slabs, fn):
+    """Run ``fn(s0)`` for each _FSLAB-row slab of a face's bbox in the tile.
+
+    Binned faces touch >= 1 slab, and (p50 bbox height 3 px) almost always
+    exactly one: the first slab runs straight-line — a fori_loop iteration
+    costs ~70 cycles, a taken-false pl.when far less — with branches only
+    for the 2nd and the rare 3rd+."""
+    def at(si):
+        fn(jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB))
+
+    at(0)
+
+    @pl.when(n_slabs > 1)
+    def _():
+        at(1)
+
+    @pl.when(n_slabs > 2)
+    def _():
+        def body(si, _):
+            at(si)
+            return 0
+        jax.lax.fori_loop(2, n_slabs, body, 0)
+
+
+def _pad_cols_128(a):
+    """Pad the lane (column) dim to exactly 128 so kernels can read a face
+    row as one VREG (see _face_row). Free in HBM traffic at n_chunks == 1:
+    Pallas elides block re-fetch when consecutive grid steps map to the
+    same block index."""
+    if a.shape[1] == 128:
+        return a
+    assert a.shape[1] < 128, a.shape
+    return jnp.pad(a, ((0, 0), (0, 128 - a.shape[1])))
 
 
 def _pad_rows_to(a, mult, fill=0):
@@ -287,7 +365,7 @@ FACE_CHUNK = 8192
 
 
 def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None,
-                  row0=0):
+                  row0=0, flags=None):
     """Per-chunk binning: counts (n_chunks, T), idx (n_chunks, T, chunk, 1)."""
     g = bbox.shape[0]
     n_chunks = g // chunk
@@ -298,17 +376,22 @@ def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None,
         if edge_coeffs is not None:
             ec = tuple(a[sl] for a in edge_coeffs)
         cnt, ix = bin_primitives(bbox[sl], valid[sl], height, width,
-                                 edge_coeffs=ec, row0=row0)
+                                 edge_coeffs=ec, row0=row0,
+                                 flags=None if flags is None else flags[sl])
         counts.append(cnt)
         idx.append(ix)
     return jnp.stack(counts), jnp.stack(idx)[..., None]
 
 
-def face_bins(faces, height, width, row0=0):
+def face_bins(faces, height, width, row0=0, with_debug=False):
     """Shared tile/face intersection lists: (counts, idx, chunk).
 
     Computed once per frame and reused by the visibility/G-buffer kernel and
     the windowed texture sampler (their face loops iterate the same lists).
+    Entries are PACKED (index | flags | tile-relative bbox rows, see
+    _BIN_*) so kernel visits decode everything from one scalar read.
+    ``with_debug`` must match the kernels' (it affects the needs-clip flag
+    bit).
     """
     g0 = faces["sx"].shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
@@ -317,7 +400,8 @@ def face_bins(faces, height, width, row0=0):
     counts, idx = _chunked_bins(
         _pad_rows_to(faces["bbox"], chunk),
         _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
-        chunk, edge_coeffs=coeffs, row0=row0)
+        chunk, edge_coeffs=coeffs, row0=row0,
+        flags=_pad_rows_to(face_flags(faces, with_debug), chunk))
     return counts, idx, chunk
 
 
@@ -336,32 +420,36 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
     row-sharded rendering; pixel math stays in global coordinates, so shards
     are bit-identical to the matching single-chip rows.
     """
-    fdata, idata = pack_faces(faces, with_debug)
+    fdata = pack_faces(faces, with_debug)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
-    fdata = _pad_rows_to(fdata, chunk)
-    idata = _pad_rows_to(idata, chunk)
+    fdata = _pad_cols_128(_pad_rows_to(fdata, chunk))
     if bins is None:
-        counts, idx, _ = face_bins(faces, height, width, row0=row0)
+        counts, idx, _ = face_bins(faces, height, width, row0=row0,
+                                   with_debug=with_debug)
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
-    # row0 rides as the last element of the scalar-prefetch counts vector.
+    # row0 and the chunk-0 gid ride at the tail of the scalar-prefetch
+    # counts vector (gid is linear in the global face index, so the kernel
+    # reconstructs it as gid0 + c*chunk + f — no per-visit table read).
     counts1 = jnp.concatenate([counts.reshape(-1),
-                               jnp.asarray(row0, jnp.int32).reshape(1)])
+                               jnp.asarray(row0, jnp.int32).reshape(1),
+                               faces["gid"][0].reshape(1)])
 
-    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, zb_ref, tid_ref):
+    def kernel(counts_ref, idx_ref, fdata_ref, zb_ref, tid_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
-        row0k = counts_ref[n_chunks * n_ty * n_tx]
-        y0i = ty * TILE_H + row0k
+        gid0k = counts_ref[n_chunks * n_ty * n_tx + 1] + c * chunk
+        y0f = (ty * TILE_H + counts_ref[n_chunks * n_ty * n_tx]).astype(
+            jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows_s = jax.lax.broadcasted_iota(
-            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
+            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32) + y0f
         cols_s = jax.lax.broadcasted_iota(
             jnp.int32, (_FSLAB, TILE_W), 1).astype(jnp.float32) + x0
 
@@ -377,28 +465,24 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
             # triangular.py:99-118): any face claiming before the minimum
             # arrives is overwritten by the face that achieves it, and every
             # claim after that equals a final-buffer test.
-            f = idx_ref[0, 0, k, 0]
-            flags = idata_ref[f, 4]
-            s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+            f, flags, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
+            gid = gid0k + f
 
-            def slab(si, _):
-                s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
-                rows = rows_s + (y0i + s0).astype(jnp.float32)
+            def slab(s0):
+                rows = rows_s + s0.astype(jnp.float32)
 
                 def apply(cov, z):
                     zs = z * sign
                     zb_s = zb_ref[pl.ds(s0, _FSLAB), :]
                     upd = cov & (zb_s >= zs)
                     tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
-                        upd, idata_ref[f, 5], tid_ref[pl.ds(s0, _FSLAB), :])
+                        upd, gid, tid_ref[pl.ds(s0, _FSLAB), :])
                     zb_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
                         upd & ((flags & 4) > 0), zs, zb_s)
 
-                _visit_claim(fdata_ref, idata_ref, f, flags, rows, cols_s,
+                _visit_claim(fdata_ref, f, flags, rows, cols_s,
                              with_debug, apply)
-                return 0
-
-            jax.lax.fori_loop(0, n_slabs, slab, 0)
+            _for_each_slab(s_base, n_slabs, slab)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -412,8 +496,6 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, fdata.shape[1]),
                          lambda ty, tx, c, s: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _I_COLS), lambda ty, tx, c, s: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -431,14 +513,14 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
             jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
         ],
         interpret=interpret,
-    )(counts1, idx, fdata, idata)
+    )(counts1, idx, fdata)
     return zb[:height, :width], tid[:height, :width]
 
 
 # --------------------------------------------------------------- stencil
 
 # Quad float payload: [0:12] sx, [12:24] sy, [24] Ax, [25] By, [26] Cz, [27] D
-_Q_COLS = 28
+_Q_COLS = 128
 # Quad int payload: [0:4] bbox, [4] count, [5] ok, [6] is_front.
 _QI_COLS = 8
 
@@ -467,34 +549,21 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     e, _ = qdata.shape
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
-    sx = qdata[:, 0:12]
-    sy = qdata[:, 12:24]
-    nverts = qi[:, 4]
-    fs = jnp.where(qi[:, 6] > 0, 1.0, -1.0)[:, None]
-
-    # Next-vertex lookup: roll-by-one with a wrap back to vertex 0 at the
-    # polygon's end. Elementwise (roll + where) — a take_along_axis here is a
-    # per-element XLA gather, ~1.5 ms per frame at diablo scale.
-    slots = jnp.arange(12)[None, :]
-    wrap = slots + 1 >= nverts[:, None]
-    px1 = jnp.where(wrap, sx[:, 0:1], jnp.roll(sx, -1, axis=1))
-    py1 = jnp.where(wrap, sy[:, 0:1], jnp.roll(sy, -1, axis=1))
-    A = (py1 - sy) * fs                              # (E, 12) edge y-coef
-    B = -(px1 - sx) * fs                             # (E, 12) edge x-coef
-    K = -(sx * A + sy * B)                           # constant term
+    # Edge half-plane coefficients precomputed by pack_quads (inactive slots
+    # encode an always-true (0, 0, 1) test, so no active mask is needed:
+    # min(cm, 1) > 0 iff the active-edge minimum is > 0).
+    A = qdata[:, 0:12]
+    B = qdata[:, 12:24]
+    K = qdata[:, 24:36]
 
     ty0 = (jnp.arange(n_ty, dtype=jnp.float32) * TILE_H) + row0
     tx0 = (jnp.arange(n_tx, dtype=jnp.float32) * TILE_W)
     # corner_max[t, e, i] over the tile rectangle, separably per axis.
     x_part = (tx0[:, None, None] * A + TILE_W * jnp.maximum(A, 0))  # (Tx,E,12)
     y_part = (ty0[:, None, None] * B + TILE_H * jnp.maximum(B, 0))  # (Ty,E,12)
-    active = slots < nverts[:, None]
-    covered = jnp.ones((n_ty, n_tx, e), bool)
-    big = jnp.float32(jnp.inf)
-    # min over active edges of corner_max; > 0 everywhere means possibly
-    # covered. Evaluate as (Ty, Tx, E) without materializing (T, E, 12):
+    # min over edges of corner_max; > 0 everywhere means possibly covered.
+    # Evaluate as (Ty, Tx, E) without materializing (T, E, 12):
     cm = (y_part[:, None] + x_part[None, :] + K[None, None])
-    cm = jnp.where(active[None, None], cm, big)
     covered = cm.min(axis=-1) > 0
 
     bbox = qi[:, 0:4]
@@ -509,8 +578,8 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
                (qi[:, 5] > 0)[None, None, :])
 
     if zmax_tiles is not None:
-        Ax, By, Cz, D = (qdata[:, 24], qdata[:, 25], qdata[:, 26],
-                         qdata[:, 27])
+        Ax, By, Cz, D = (qdata[:, 36], qdata[:, 37], qdata[:, 38],
+                         qdata[:, 39])
         safe = Cz != 0
         czs = jnp.where(safe, Cz, 1.0)
         zx = -Ax / czs                          # z_raw = zx*x + zy*y + zd
@@ -575,10 +644,20 @@ def pack_quads(screen, counts, ok, height, width, near, far):
     pad = jnp.zeros((e, 12 - pmax), jnp.float32) if pmax < 12 else None
     sx12 = sx if pmax == 12 else jnp.concatenate([sx, pad], 1)
     sy12 = sy if pmax == 12 else jnp.concatenate([sy, pad], 1)
+    sx12 = jnp.nan_to_num(sx12, nan=0.0, posinf=3e38, neginf=-3e38)
+    sy12 = jnp.nan_to_num(sy12, nan=0.0, posinf=3e38, neginf=-3e38)
+    # Edge half-plane coefficients, orientation folded in (shadow.py::
+    # quad_edge_coeffs — the same values the XLA _quad_fragments path uses),
+    # so the kernel evaluates 2 FMA + 1 compare per edge with no next-vertex
+    # or active-slot logic. bboxf mirrors qi[:, 0:4] for VREG window masks.
+    from tpu_renderer.ops.shadow import quad_edge_coeffs
+    eA, eB, eK = quad_edge_coeffs(sx12, sy12, counts.astype(jnp.int32),
+                                  is_front)
     qdata = jnp.concatenate(
-        [jnp.nan_to_num(sx12, nan=0.0, posinf=3e38, neginf=-3e38),
-         jnp.nan_to_num(sy12, nan=0.0, posinf=3e38, neginf=-3e38),
-         nrm[:, 0:1], nrm[:, 1:2], nrm[:, 2:3], d_coef[:, None]], axis=1)
+        [eA, eB, eK,
+         nrm[:, 0:1], nrm[:, 1:2], nrm[:, 2:3], d_coef[:, None],
+         bbox.astype(jnp.float32)], axis=1)
+    qdata = _pad_cols_128(qdata)
 
     qi = jnp.zeros((e, _QI_COLS), jnp.int32)
     qi = qi.at[:, 0:4].set(bbox)
@@ -647,25 +726,13 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             q = idx_ref[0, 0, k, 0]
             nverts = qi_ref[q, 4]
             front = qi_ref[q, 6] > 0
-
-            # front faces need every cross > 0, back faces < 0; fold the
-            # orientation into a sign factor (vector bool selects don't
-            # lower on TPU).
-            front_sign = jnp.where(front, 1.0, -1.0)
-
-            px0, py0 = qdata_ref[q, 0], qdata_ref[q, 12]
+            co = _face_row(qdata_ref, q, (TILE_H, TILE_W))
 
             def edge_test(inside, i):
-                pxi = qdata_ref[q, i]
-                pyi = qdata_ref[q, 12 + i]
-                # Active edges close the loop only at i == nverts - 1.
-                wrap = i + 1 == nverts
-                px1 = jnp.where(wrap, px0, qdata_ref[q, (i + 1) % 12])
-                py1 = jnp.where(wrap, py0, qdata_ref[q, 12 + (i + 1) % 12])
-                ex = (px1 - pxi) * front_sign
-                ey = (py1 - pyi) * front_sign
-                cross = (cols - pxi) * ey - (rows - pyi) * ex
-                return inside & ((cross > 0) | (i >= nverts))
+                # Precomputed half-plane (orientation folded in, inactive
+                # slots always-true) — 2 FMA + compare per edge.
+                cross = co(i) * cols + co(12 + i) * rows + co(24 + i)
+                return inside & (cross > 0)
 
             # Clipped polys average ~4 vertices: test 6 edges unconditionally
             # and the rare 7..12 only when present (one branch vs 6 edge
@@ -685,17 +752,10 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                 ins_ref[:] = ins.astype(jnp.int32)
             inside = ins_ref[:] != 0
 
-            b0 = qi_ref[q, 0].astype(jnp.float32)
-            b1 = qi_ref[q, 1].astype(jnp.float32)
-            b2 = qi_ref[q, 2].astype(jnp.float32)
-            b3 = qi_ref[q, 3].astype(jnp.float32)
-            window = (cols >= b0) & (cols < b1) & (rows >= b2) & (rows < b3)
+            window = ((cols >= co(40)) & (cols < co(41)) &
+                      (rows >= co(42)) & (rows < co(43)))
 
-            ax = qdata_ref[q, 24]
-            by = qdata_ref[q, 25]
-            cz = qdata_ref[q, 26]
-            dd = qdata_ref[q, 27]
-            z = -(ax * cols + by * rows + dd) / cz
+            z = -(co(36) * cols + co(37) * rows + co(39)) / co(38)
             z = nf2 / (fpn - z * fmn)
             # Geometry pixels only: background (unwritten z) never reads the
             # stencil in shading, and excluding it enables the z-occlusion
@@ -791,20 +851,22 @@ def pack_face_attrs(attrs):
     return jnp.concatenate(cols, axis=1)
 
 
-def _gb_interp_face(fdata_ref, f, X, rows, cols, put, with_tex_tables):
+def _gb_interp_face(co, X, rows, cols, put, with_tex_tables):
     """Interpolate one face's G-buffer channels over a tile (phase-1 body).
 
     Shared by the fused visibility+G-buffer kernel and the standalone
     sharded G-buffer kernel. ``put(channel, value)`` applies the caller's
-    winner-masked write. Tangent/bitangent solve the reference's per-pixel
-    TBN system (core.py:191-224) in closed form via the adjugate.
+    winner-masked write; ``co(c)`` broadcasts fdata column c (_face_row —
+    the ~45 per-visit face scalars arrive as one VMEM row load + lane
+    shuffles). Tangent/bitangent solve the reference's per-pixel TBN system
+    (core.py:191-224) in closed form via the adjugate.
     """
     # Screen barycentric (same affine coefficients as _face_tile_cov).
-    v = fdata_ref[f, 0] * cols + fdata_ref[f, 1] * rows + fdata_ref[f, 2]
-    w = fdata_ref[f, 3] * cols + fdata_ref[f, 4] * rows + fdata_ref[f, 5]
+    v = co(0) * cols + co(1) * rows + co(2)
+    w = co(3) * cols + co(4) * rows + co(5)
     u = 1.0 - v - w
     # Perspective-corrected weights (core.py:155-160).
-    iw0, iw1, iw2 = fdata_ref[f, 9], fdata_ref[f, 10], fdata_ref[f, 11]
+    iw0, iw1, iw2 = co(9), co(10), co(11)
     su, sv, sw = u * iw0, v * iw1, w * iw2
     inv_s = 1.0 / (su + sv + sw)
     pb0, pb1, pb2 = su * inv_s, sv * inv_s, sw * inv_s
@@ -813,20 +875,20 @@ def _gb_interp_face(fdata_ref, f, X, rows, cols, put, with_tex_tables):
         return pb0 * c0 + pb1 * c1 + pb2 * c2
 
     # World position.
-    wx = [fdata_ref[f, X + i] for i in range(9)]
+    wx = [co(X + i) for i in range(9)]
     for ci in range(3):
         put(GB_WORLD + ci, interp(wx[ci], wx[3 + ci], wx[6 + ci]))
     # UV.
-    u0, u1, u2 = (fdata_ref[f, X + 9], fdata_ref[f, X + 10],
-                  fdata_ref[f, X + 11])
-    vv0, vv1, vv2 = (fdata_ref[f, X + 12], fdata_ref[f, X + 13],
-                     fdata_ref[f, X + 14])
+    u0, u1, u2 = (co(X + 9), co(X + 10),
+                  co(X + 11))
+    vv0, vv1, vv2 = (co(X + 12), co(X + 13),
+                     co(X + 14))
     iu_val = interp(u0, u1, u2)
     iv_val = interp(vv0, vv1, vv2)
     put(GB_IU, iu_val)
     put(GB_IV, iv_val)
     # Vertex normal.
-    nv = [fdata_ref[f, X + 15 + i] for i in range(9)]
+    nv = [co(X + 15 + i) for i in range(9)]
     n = [interp(nv[0], nv[3], nv[6]),
          interp(nv[1], nv[4], nv[7]),
          interp(nv[2], nv[5], nv[8])]
@@ -850,29 +912,31 @@ def _gb_interp_face(fdata_ref, f, X, rows, cols, put, with_tex_tables):
         put(GB_BIT + ci, (c0[ci] * dv0 + c1[ci] * dv1) * inv_det)
     # Constant material channels.
     for ci in range(3):
-        put(GB_KD + ci, fdata_ref[f, X + 24 + ci])
-        put(GB_KS + ci, fdata_ref[f, X + 27 + ci])
-    put(GB_NS, fdata_ref[f, X + 30])
+        put(GB_KD + ci, co(X + 24 + ci))
+        put(GB_KS + ci, co(X + 27 + ci))
+    put(GB_NS, co(X + 30))
     if with_tex_tables:
         # slots/shapes — only the XLA gather path reads them; the windowed
         # sampler gets its per-face table from sdata instead.
         for off in range(10):
             if off == GB_NORM_SLOT + 3 - GB_KD_SLOT:
                 continue
-            put(GB_KD_SLOT + off, fdata_ref[f, X + 31 + off])
+            put(GB_KD_SLOT + off, co(X + 31 + off))
     # Tangent flag + model id: read by shading on both paths.
     put(GB_NORM_SLOT + 3,
-        fdata_ref[f, X + 31 + GB_NORM_SLOT + 3 - GB_KD_SLOT])
-    put(GB_MODEL, fdata_ref[f, X + 41])
+        co(X + 31 + GB_NORM_SLOT + 3 - GB_KD_SLOT))
+    put(GB_MODEL, co(X + 41))
     return iu_val, iv_val
 
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
-                                   "interpret", "with_tex_tables", "n_kinds"))
+                                   "interpret", "with_tex_tables", "n_kinds",
+                                   "mode"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                               with_debug=False, interpret=False, bins=None,
-                              with_tex_tables=True, windows=None, n_kinds=0):
+                              with_tex_tables=True, windows=None, n_kinds=0,
+                              mode="full"):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -896,15 +960,15 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     iu/iv G-buffer round-trip through HBM disappears. Returns
     (zbuf, tid, gbuffer, samp, mask) in that case, else (zbuf, tid, gbuffer).
     """
-    fdata0, idata = pack_faces(faces, with_debug)
+    fdata0 = pack_faces(faces, with_debug)
     base_cols = fdata0.shape[1]
     fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
-    fdata = _pad_rows_to(fdata, chunk)
-    idata = _pad_rows_to(idata, chunk)
+    fdata = _pad_cols_128(_pad_rows_to(fdata, chunk))
     if bins is None:
-        counts, idx, _ = face_bins(faces, height, width)
+        counts, idx, _ = face_bins(faces, height, width,
+                                   with_debug=with_debug)
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
@@ -916,7 +980,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         sdata = _pad_rows_to(pack_sample_faces(faces), chunk)
         wrows = windows.shape[1]
 
-    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, *rest):
+    def kernel(counts_ref, idx_ref, fdata_ref, *rest):
         if sampling:
             (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
              mask_ref, spec, sync, sems, sem_sync) = rest
@@ -928,7 +992,8 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         phase = step >= n_chunks
         c = step - n_chunks * phase.astype(jnp.int32)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
-        y0i = ty * TILE_H
+        gid0k = counts_ref[n_chunks * n_ty * n_tx] + c * chunk
+        y0f = (ty * TILE_H).astype(jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows_s = jax.lax.broadcasted_iota(
             jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
@@ -950,51 +1015,51 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                     win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
 
             def prefetch(k, buf):
-                spec_dma(buf, sdata_ref[idx_ref[0, 0, k, 0], 1]).start()
+                fp = idx_ref[0, 0, k, 0] & _BIN_FMASK
+                spec_dma(buf, sdata_ref[fp, 1]).start()
 
         @pl.when(jnp.logical_not(phase))
         def _():
             def body(k, _):
                 # Single incremental z+id pass — see visibility_pallas.
-                f = idx_ref[0, 0, k, 0]
-                flags = idata_ref[f, 4]
-                s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+                f, flags, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
+                gid = gid0k + f
 
-                def slab(si, _):
-                    s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
-                    rows = rows_s + (y0i + s0).astype(jnp.float32)
+                def slab(s0):
+                    rows = rows_s + y0f + s0.astype(jnp.float32)
 
                     def apply(cov, z):
                         zs = z * sign
                         zb_s = zb_ref[pl.ds(s0, _FSLAB), :]
                         upd = cov & (zb_s >= zs)
                         tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
-                            upd, idata_ref[f, 5],
-                            tid_ref[pl.ds(s0, _FSLAB), :])
+                            upd, gid, tid_ref[pl.ds(s0, _FSLAB), :])
                         zb_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
                             upd & ((flags & 4) > 0), zs, zb_s)
 
-                    _visit_claim(fdata_ref, idata_ref, f, flags, rows,
+                    _visit_claim(fdata_ref, f, flags, rows,
                                  cols_s, with_debug, apply)
-                    return 0
-
-                jax.lax.fori_loop(0, n_slabs, slab, 0)
+                _for_each_slab(s_base, n_slabs, slab)
                 return 0
 
             jax.lax.fori_loop(0, count, body, 0)
 
-        @pl.when(phase)
+        _dbg_p1 = mode != "zonly"
+        _dbg_interp = mode not in ("zonly", "nogb")
+        _dbg_samp = mode in ("full",)
+
+        @pl.when(phase & _dbg_p1)
         def _():
-            if sampling:
+            if sampling and _dbg_samp:
                 @pl.when(count > 0)
                 def _():
                     prefetch(0, 0)
 
             def gbody(k, _):
-                f = idx_ref[0, 0, k, 0]
-                gid = idata_ref[f, 5]
+                f, flags, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
+                gid = gid0k + f
                 buf = jax.lax.rem(k, 2)
-                if sampling:
+                if sampling and _dbg_samp:
                     # Start face k+1's speculative windows, then drain this
                     # face's (same double-buffer protocol as the standalone
                     # sampler kernel).
@@ -1002,33 +1067,33 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                     def _():
                         prefetch(k + 1, 1 - buf)
                     spec_dma(buf, sdata_ref[f, 1]).wait()
-                s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+                co = _face_row(fdata_ref, f, (_FSLAB, TILE_W))
 
-                def slab(si, _):
-                    s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
+                def slab(s0):
                     win = tid_ref[pl.ds(s0, _FSLAB), :] == gid
 
                     @pl.when(jnp.any(win))
                     def _():
-                        rows = rows_s + (y0i + s0).astype(jnp.float32)
+                        if not _dbg_interp:
+                            tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
+                                win, gid, tid_ref[pl.ds(s0, _FSLAB), :])
+                            return
+                        rows = rows_s + y0f + s0.astype(jnp.float32)
 
                         def put(ch, val):
                             gb_ref[ch, pl.ds(s0, _FSLAB), :] = jnp.where(
                                 win, val, gb_ref[ch, pl.ds(s0, _FSLAB), :])
 
                         iu_val, iv_val = _gb_interp_face(
-                            fdata_ref, f, X, rows, cols_s, put,
-                            with_tex_tables)
-                        if sampling:
+                            co, X, rows, cols_s, put, with_tex_tables)
+                        if sampling and _dbg_samp:
                             @pl.when(sdata_ref[f, 4] > 0)
                             def _():
                                 _sample_face_slab(
                                     sdata_ref, f, buf, s0, win, iu_val,
                                     iv_val, spec, sync, sem_sync, win_hbm,
                                     samp_ref, mask_ref, n_kinds)
-                    return 0
-
-                jax.lax.fori_loop(0, n_slabs, slab, 0)
+                _for_each_slab(s_base, n_slabs, slab)
                 return 0
 
             jax.lax.fori_loop(0, count, gbody, 0)
@@ -1041,10 +1106,6 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (chunk, fdata.shape[1]),
-            lambda ty, tx, st, s: (phase_fold(st), 0),
-            memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (chunk, _I_COLS),
             lambda ty, tx, st, s: (phase_fold(st), 0),
             memory_space=pltpu.VMEM),
     ]
@@ -1064,7 +1125,9 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             (GB_CHANNELS, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
     ]
     scratch_shapes = []
-    inputs = [counts.reshape(-1), idx, fdata, idata]
+    counts1 = jnp.concatenate([counts.reshape(-1),
+                               faces["gid"][0].reshape(1)])
+    inputs = [counts1, idx, fdata]
     if sampling:
         in_specs += [
             pl.BlockSpec((chunk, _S_COLS),
@@ -1148,10 +1211,15 @@ def _sample_face_slab(sdata_ref, f, buf, s0, win, iu_s, iv_s, spec, sync,
     wn = nwr * nwc
     wn_spec = jnp.minimum(wn, _SPEC)
 
-    cf = jnp.trunc(jnp.clip(iu_s, max=1.0) * (twf - 1.0))
-    col = (cf - twf * jnp.floor(cf / twf)).astype(jnp.int32)
-    rf = jnp.trunc((1.0 - jnp.clip(iv_s, max=1.0)) * (thf - 1.0))
-    row = (rf - thf * jnp.floor(rf / thf)).astype(jnp.int32)
+    # Single-period negative wrap (numpy fancy-indexing semantics): legal
+    # reference UVs put the truncated index in (-dim, dim), where one
+    # conditional add is bit-identical to the floor-mod the XLA path uses
+    # (floor(x/dim) is exactly -1 or 0 there) and skips two f32 divides.
+    cf = jnp.trunc(jnp.clip(iu_s, max=1.0) * (twf - 1.0)).astype(jnp.int32)
+    col = cf + tw * (cf < 0)
+    rf = jnp.trunc((1.0 - jnp.clip(iv_s, max=1.0))
+                   * (thf - 1.0)).astype(jnp.int32)
+    row = rf + th * (rf < 0)
 
     def process_window(wv, rel_r, rel_c):
         """Sample every kind plane of one window over the pixel slab."""
@@ -1323,6 +1391,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         tx = pl.program_id(1)
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
+        gid0k = counts_ref[n_chunks * n_ty * n_tx] + c * chunk
 
         @pl.when(c == 0)
         def _():
@@ -1342,7 +1411,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         _dbg_scan = mode != "noscan"
 
         def prefetch(k, buf):
-            f = idx_ref[0, 0, k, 0]
+            f = idx_ref[0, 0, k, 0] & _BIN_FMASK
             spec_dma(buf, sdata_ref[f, 1]).start()
 
         @pl.when((count > 0) & _dbg_dma)
@@ -1351,8 +1420,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
 
         def body(k, _):
             buf = jax.lax.rem(k, 2)
-            f = idx_ref[0, 0, k, 0]
-            gid = sdata_ref[f, 0]
+            f, _fl, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
+            gid = gid0k + f
             wb = sdata_ref[f, 1]
             kmask = sdata_ref[f, 4]
 
@@ -1365,17 +1434,10 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
 
             @pl.when(kmask > 0)
             def _():
-                # Pixel-row slabs covering the face's bbox within this tile:
-                # every per-visit vector op shrinks from the (64, 128) tile
-                # to a (_SLAB, 128) slab, the dominant sampler cost.
-                ty0px = ty * TILE_H
-                r_lo = jnp.maximum(sdata_ref[f, 9] - ty0px, 0)
-                r_hi = jnp.minimum(sdata_ref[f, 10] - ty0px, TILE_H)
-                s_base = r_lo & ~7
-                n_slabs = (r_hi - s_base + _SLAB - 1) >> _SLAB_SHIFT
-
-                def slab_body(si, _):
-                    s0 = jnp.minimum(s_base + si * _SLAB, TILE_H - _SLAB)
+                # Pixel-row slabs (from the packed bin entry): every
+                # per-visit vector op shrinks from the (64, 128) tile to a
+                # (_SLAB, 128) slab, the dominant sampler cost.
+                def slab_body(s0):
                     win = tid_ref[pl.ds(s0, _SLAB), :] == gid
 
                     @pl.when(jnp.any(win))
@@ -1386,10 +1448,9 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                             sdata_ref, f, buf, s0, win, iu_s, iv_s, spec,
                             sync, sem_sync, win_hbm, samp_ref, mask_ref,
                             n_kinds, sweep=_dbg_sweep)
-                    return 0
 
                 if _dbg_scan:
-                    jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+                    _for_each_slab(s_base, n_slabs, slab_body)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -1433,7 +1494,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ],
         interpret=interpret,
-    )(counts.reshape(-1), idx, sdata, windows, tid_p, iu_p, iv_p)
+    )(jnp.concatenate([counts.reshape(-1), faces["gid"][0].reshape(1)]),
+      idx, sdata, windows, tid_p, iu_p, iv_p)
     return samp[:, :height, :width], mask[:height, :width]
 
 # ------------------------------------------------------ sharded-mode kernels
@@ -1451,13 +1513,13 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
     invalidated by another shard's closer geometry (and non-z-writing faces
     can claim at depths their local buffer never reached).
     """
-    fdata, idata = pack_faces(faces, with_debug)
+    fdata = pack_faces(faces, with_debug)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
-    fdata = _pad_rows_to(fdata, chunk)
-    idata = _pad_rows_to(idata, chunk)
+    fdata = _pad_cols_128(_pad_rows_to(fdata, chunk))
     if bins is None:
-        counts, idx, _ = face_bins(faces, height, width, row0=row0)
+        counts, idx, _ = face_bins(faces, height, width, row0=row0,
+                                   with_debug=with_debug)
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
@@ -1467,18 +1529,20 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
     zb_pad = jnp.full((hp, wp), jnp.inf, jnp.float32)
     zb_pad = zb_pad.at[:height, :width].set(zb_final_sign)
     counts1 = jnp.concatenate([counts.reshape(-1),
-                               jnp.asarray(row0, jnp.int32).reshape(1)])
+                               jnp.asarray(row0, jnp.int32).reshape(1),
+                               faces["gid"][0].reshape(1)])
 
-    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, zb_ref, tid_ref):
+    def kernel(counts_ref, idx_ref, fdata_ref, zb_ref, tid_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
-        row0k = counts_ref[n_chunks * n_ty * n_tx]
-        y0i = ty * TILE_H + row0k
+        gid0k = counts_ref[n_chunks * n_ty * n_tx + 1] + c * chunk
+        y0f = (ty * TILE_H + counts_ref[n_chunks * n_ty * n_tx]).astype(
+            jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows_s = jax.lax.broadcasted_iota(
-            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
+            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32) + y0f
         cols_s = jax.lax.broadcasted_iota(
             jnp.int32, (_FSLAB, TILE_W), 1).astype(jnp.float32) + x0
 
@@ -1487,24 +1551,20 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
             tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
         def body(k, _):
-            f = idx_ref[0, 0, k, 0]
-            flags = idata_ref[f, 4]
-            s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+            f, flags, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
+            gid = gid0k + f
 
-            def slab(si, _):
-                s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
-                rows = rows_s + (y0i + s0).astype(jnp.float32)
+            def slab(s0):
+                rows = rows_s + s0.astype(jnp.float32)
 
                 def apply(cov, z):
                     upd = cov & (zb_ref[pl.ds(s0, _FSLAB), :] >= z * sign)
                     tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
-                        upd, idata_ref[f, 5], tid_ref[pl.ds(s0, _FSLAB), :])
+                        upd, gid, tid_ref[pl.ds(s0, _FSLAB), :])
 
-                _visit_claim(fdata_ref, idata_ref, f, flags, rows, cols_s,
+                _visit_claim(fdata_ref, f, flags, rows, cols_s,
                              with_debug, apply)
-                return 0
-
-            jax.lax.fori_loop(0, n_slabs, slab, 0)
+            _for_each_slab(s_base, n_slabs, slab)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -1518,8 +1578,6 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, fdata.shape[1]),
                          lambda ty, tx, c, s: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _I_COLS), lambda ty, tx, c, s: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
                          memory_space=pltpu.VMEM),
@@ -1536,7 +1594,7 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ],
         interpret=interpret,
-    )(counts1, idx, fdata, idata, zb_pad)
+    )(counts1, idx, fdata, zb_pad)
     return tid[:height, :width]
 
 
@@ -1551,15 +1609,15 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
     unique), so zero-initialized partial G-buffers combine with a plain psum
     over the tris axis. Returns (GB_CHANNELS, H, W) float32.
     """
-    fdata0, idata = pack_faces(faces, with_debug)
+    fdata0 = pack_faces(faces, with_debug)
     X = fdata0.shape[1]
     fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
-    fdata = _pad_rows_to(fdata, chunk)
-    idata = _pad_rows_to(idata, chunk)
+    fdata = _pad_cols_128(_pad_rows_to(fdata, chunk))
     if bins is None:
-        counts, idx, _ = face_bins(faces, height, width, row0=row0)
+        counts, idx, _ = face_bins(faces, height, width, row0=row0,
+                                   with_debug=with_debug)
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
@@ -1569,18 +1627,20 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
     tid_p = jnp.pad(tid, ((0, hp - tid.shape[0]), (0, wp - tid.shape[1])),
                     constant_values=-1)
     counts1 = jnp.concatenate([counts.reshape(-1),
-                               jnp.asarray(row0, jnp.int32).reshape(1)])
+                               jnp.asarray(row0, jnp.int32).reshape(1),
+                               faces["gid"][0].reshape(1)])
 
-    def kernel(counts_ref, idx_ref, fdata_ref, idata_ref, tid_ref, gb_ref):
+    def kernel(counts_ref, idx_ref, fdata_ref, tid_ref, gb_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
-        row0k = counts_ref[n_chunks * n_ty * n_tx]
-        y0i = ty * TILE_H + row0k
+        gid0k = counts_ref[n_chunks * n_ty * n_tx + 1] + c * chunk
+        y0f = (ty * TILE_H + counts_ref[n_chunks * n_ty * n_tx]).astype(
+            jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows_s = jax.lax.broadcasted_iota(
-            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
+            jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32) + y0f
         cols_s = jax.lax.broadcasted_iota(
             jnp.int32, (_FSLAB, TILE_W), 1).astype(jnp.float32) + x0
 
@@ -1589,27 +1649,24 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
             gb_ref[:] = jnp.zeros((GB_CHANNELS, TILE_H, TILE_W), jnp.float32)
 
         def gbody(k, _):
-            f = idx_ref[0, 0, k, 0]
-            gid = idata_ref[f, 5]
-            s_base, n_slabs = _face_slabs(idata_ref, f, y0i)
+            f, flags, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
+            gid = gid0k + f
+            co = _face_row(fdata_ref, f, (_FSLAB, TILE_W))
 
-            def slab(si, _):
-                s0 = jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB)
+            def slab(s0):
                 win = tid_ref[pl.ds(s0, _FSLAB), :] == gid
 
                 @pl.when(jnp.any(win))
                 def _():
-                    rows = rows_s + (y0i + s0).astype(jnp.float32)
+                    rows = rows_s + s0.astype(jnp.float32)
 
                     def put(ch, val):
                         gb_ref[ch, pl.ds(s0, _FSLAB), :] = jnp.where(
                             win, val, gb_ref[ch, pl.ds(s0, _FSLAB), :])
 
-                    _gb_interp_face(fdata_ref, f, X, rows, cols_s, put,
+                    _gb_interp_face(co, X, rows, cols_s, put,
                                     with_tex_tables)
-                return 0
-
-            jax.lax.fori_loop(0, n_slabs, slab, 0)
+            _for_each_slab(s_base, n_slabs, slab)
             return 0
 
         jax.lax.fori_loop(0, count, gbody, 0)
@@ -1623,8 +1680,6 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, fdata.shape[1]),
                          lambda ty, tx, c, s: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _I_COLS), lambda ty, tx, c, s: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
                          memory_space=pltpu.VMEM),
@@ -1642,5 +1697,5 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
             jax.ShapeDtypeStruct((GB_CHANNELS, hp, wp), jnp.float32),
         ],
         interpret=interpret,
-    )(counts1, idx, fdata, idata, tid_p)
+    )(counts1, idx, fdata, tid_p)
     return gb[:, :height, :width]

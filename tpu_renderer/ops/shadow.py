@@ -115,6 +115,26 @@ def extrude_quads(verts, a_vid, b_vid, light, light_type):
     return jnp.stack([A, B, D, C], axis=1)                       # (E, 4, 4)
 
 
+def quad_edge_coeffs(sx, sy, counts, front):
+    """Edge half-plane functions of a convex screen polygon, orientation
+    folded in: inside requires A*x + B*y + K > 0 on every edge. Inactive
+    edge slots encode (0, 0, 1) — an always-true test — so consumers need
+    no per-edge active mask. Shared (same f32 ops, hence bit-identical
+    values) by pack_quads / the Pallas stencil kernel and the XLA
+    _quad_fragments path. sx, sy: (..., 12); counts, front: (...,)."""
+    fs = jnp.where(front, 1.0, -1.0)[..., None]
+    slots = jnp.arange(sx.shape[-1])
+    wrap = slots + 1 >= counts[..., None]
+    px1 = jnp.where(wrap, sx[..., 0:1], jnp.roll(sx, -1, axis=-1))
+    py1 = jnp.where(wrap, sy[..., 0:1], jnp.roll(sy, -1, axis=-1))
+    A = (py1 - sy) * fs
+    B = -(px1 - sx) * fs
+    K = -(sx * A + sy * B)
+    active = slots < counts[..., None]
+    return (jnp.where(active, A, 0.0), jnp.where(active, B, 0.0),
+            jnp.where(active, K, 1.0))
+
+
 def _masked_bound_box(xs, ys, active, height, width):
     """bound_box (transformation.py:35-43) over the active polygon vertices."""
     big = jnp.float32(jnp.inf)
@@ -153,17 +173,15 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
     window = ((cols >= box[0]) & (cols < box[1]) &
               (rows >= box[2]) & (rows < box[3]))
 
-    # Point-in-convex-polygon by edge cross signs (triangular.py:305-316):
-    # front faces require every cross > 0, back faces every cross < 0.
-    nxt = jnp.where(slots + 1 >= count, 0, slots + 1)
-    px0, py0 = sx, sy
-    px1, py1 = sx[nxt], sy[nxt]
+    # Point-in-convex-polygon by edge half-planes (triangular.py:305-316):
+    # orientation folded into the coefficients (multiplying by ±1.0 is exact
+    # in f32, so front/back semantics are unchanged); inactive slots encode
+    # an always-true test. Same coefficient values and the same evaluation
+    # expression as the Pallas stencil kernel — bit-identical stencils.
+    eA, eB, eK = quad_edge_coeffs(sx, sy, count, is_front)
     inside = jnp.ones(rows.shape[0:1] + cols.shape[1:2], bool)
     for i in range(n):
-        cross = ((cols - px0[i]) * (py1[i] - py0[i]) -
-                 (rows - py0[i]) * (px1[i] - px0[i]))
-        edge_ok = jnp.where(is_front, cross > 0, cross < 0)
-        inside &= edge_ok | ~active[i]
+        inside &= (eA[i] * cols + eB[i] * rows + eK[i]) > 0
 
     # Plane-equation depth + linearization (triangular.py:351-354).
     # Background pixels (z-buffer never written) are excluded: shading never
