@@ -66,11 +66,17 @@ def _cdiv(a, b):
 
 
 # Packed bin-entry layout (bin_primitives with flags): one i32 carries the
-# chunk-local index, the face_flags word, and the tile-relative bbox rows.
-_BIN_FLAGS = 13          # requires FACE_CHUNK <= 2**13
-_BIN_RLO = 17
-_BIN_RHI = 24
-_BIN_FMASK = (1 << _BIN_FLAGS) - 1
+# sort key (bit 30: 1 = no overlap, sorts last), the chunk-local index, the
+# face_flags word, and the face's slab range in the tile (s_base/8, count).
+# Key above index above the rest makes the VALUE ordering the (key, face
+# order) ordering, so one single-operand lax.sort both compacts and
+# preserves the reference's face-order tie-breaking.
+_BIN_KEY = 30
+_BIN_F = 17              # requires FACE_CHUNK <= 2**13
+_BIN_FLAGS = 13
+_BIN_SB = 10
+_BIN_NSL = 7
+_BIN_FMASK = (1 << 13) - 1
 
 
 def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
@@ -119,27 +125,29 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
         overlap &= cm.min(axis=-1) >= -0.125
     counts = overlap.reshape(n_ty * n_tx, n).sum(axis=1, dtype=jnp.int32)
     if flags is None:
+        key = (~overlap).reshape(n_ty * n_tx, n).astype(jnp.int32)
         payload = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[None, None], overlap.shape)
-    else:
-        # Pack everything a kernel visit needs as scalars into the entry
-        # itself — per-visit dynamic scalar reads from a VMEM table cost
-        # ~38 cycles EACH (tools/exp_visit.py); one read + a shift/mask
-        # decode replaces five. Tile-relative bbox rows (clipped to
-        # [0, TILE_H]) fit 7 bits; see _BIN_* for the layout.
-        rlo_t = jnp.clip(bbox[None, :, 2] - row0
-                         - (ty * tile_h)[:, None], 0, tile_h)
-        rhi_t = jnp.clip(bbox[None, :, 3] - row0
-                         - (ty * tile_h)[:, None], 0, tile_h)
-        pay_y = (rlo_t << _BIN_RLO) | (rhi_t << _BIN_RHI)     # (Ty, N)
-        pay_n = jnp.arange(n, dtype=jnp.int32) | (flags << _BIN_FLAGS)
-        payload = jnp.broadcast_to(
-            (pay_y[:, None] + pay_n[None, None]), overlap.shape)
-    # Stable key sort on ~overlap compacts overlapping entries (in face
-    # order) to each row's prefix — cheaper than scatter-based nonzero.
-    key = (~overlap).reshape(n_ty * n_tx, n).astype(jnp.int32)
-    _, idx = jax.lax.sort([key, payload.reshape(n_ty * n_tx, n)],
-                          dimension=1, num_keys=1, is_stable=True)
+        _, idx = jax.lax.sort([key, payload.reshape(n_ty * n_tx, n)],
+                              dimension=1, num_keys=1, is_stable=True)
+        return counts, idx
+    # Pack everything a kernel visit needs as scalars into the entry
+    # itself — per-visit dynamic scalar reads from a VMEM table cost
+    # ~38 cycles EACH (tools/exp_visit.py); one read + a shift/mask
+    # decode replaces five. The _FSLAB-slab range of the face's bbox in
+    # the tile is precomputed here (8-aligned base / 8, count <= 4).
+    rlo_t = jnp.clip(bbox[None, :, 2] - row0
+                     - (ty * tile_h)[:, None], 0, tile_h)
+    rhi_t = jnp.clip(bbox[None, :, 3] - row0
+                     - (ty * tile_h)[:, None], 0, tile_h)
+    s_base = rlo_t & ~7
+    n_slabs = (rhi_t - s_base + _FSLAB - 1) >> _FSLAB_SHIFT
+    pay_y = ((s_base >> 3) << _BIN_SB) | (n_slabs << _BIN_NSL)   # (Ty, N)
+    pay_n = ((jnp.arange(n, dtype=jnp.int32) << _BIN_F)
+             | (flags << _BIN_FLAGS))
+    entries = (pay_y[:, None] + pay_n[None, None]
+               + ((~overlap).astype(jnp.int32) << _BIN_KEY))
+    idx = jax.lax.sort(entries.reshape(n_ty * n_tx, n), dimension=1)
     return counts, idx
 
 
@@ -307,12 +315,10 @@ def _decode_bin(e):
     base, slab count). Slab starts stay 8-aligned; callers clamp each start
     to TILE_H - _FSLAB (overlap is harmless: coverage ∧ bbox-window masking
     makes revisits idempotent)."""
-    f = e & _BIN_FMASK
+    f = (e >> _BIN_F) & _BIN_FMASK
     flags = (e >> _BIN_FLAGS) & 0xF
-    r_lo = (e >> _BIN_RLO) & 0x7F
-    r_hi = (e >> _BIN_RHI) & 0x7F
-    s_base = r_lo & ~7
-    n_slabs = (r_hi - s_base + _FSLAB - 1) >> _FSLAB_SHIFT
+    s_base = ((e >> _BIN_SB) & 0x7) << 3
+    n_slabs = (e >> _BIN_NSL) & 0x7
     return f, flags, s_base, n_slabs
 
 
@@ -578,13 +584,8 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
                (qi[:, 5] > 0)[None, None, :])
 
     if zmax_tiles is not None:
-        Ax, By, Cz, D = (qdata[:, 36], qdata[:, 37], qdata[:, 38],
-                         qdata[:, 39])
-        safe = Cz != 0
-        czs = jnp.where(safe, Cz, 1.0)
-        zx = -Ax / czs                          # z_raw = zx*x + zy*y + zd
-        zy = -By / czs
-        zd = -D / czs
+        zx, zy, zd = qdata[:, 36], qdata[:, 37], qdata[:, 38]
+        safe = jnp.ones(zx.shape, bool)
         x_lo = tx0[:, None] * zx + TILE_W * jnp.minimum(zx, 0)   # (Tx, E)
         x_hi = tx0[:, None] * zx + TILE_W * jnp.maximum(zx, 0)
         y_lo = ty0[:, None] * zy + TILE_H * jnp.minimum(zy, 0)   # (Ty, E)
@@ -611,7 +612,13 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
 
     overlap = overlap.reshape(n_ty * n_tx, e)
     counts = overlap.sum(axis=1, dtype=jnp.int32)
-    idx = jnp.argsort(~overlap, axis=1, stable=True).astype(jnp.int32)
+    # Packed entries like the face bins: key (bit 30, no-overlap last) above
+    # quad index above nverts/front — one sort compacts in quad order, and
+    # the kernel decodes everything from one scalar read.
+    pay = ((jnp.arange(e, dtype=jnp.int32) << _BIN_F)
+           | (jnp.clip(qi[:, 4], 0, 15) << 4) | (qi[:, 6] << 3))
+    entries = pay[None, :] + ((~overlap).astype(jnp.int32) << _BIN_KEY)
+    idx = jax.lax.sort(entries, dimension=1)
     return counts, idx
 
 
@@ -653,9 +660,16 @@ def pack_quads(screen, counts, ok, height, width, near, far):
     from tpu_renderer.ops.shadow import quad_edge_coeffs
     eA, eB, eK = quad_edge_coeffs(sx12, sy12, counts.astype(jnp.int32),
                                   is_front)
+    # Plane depth as an affine function of the pixel: z_raw = zx*x+zy*y+zd
+    # (one guard for edge-on quads with nrm.z == 0 — they cover no pixels).
+    czs = jnp.where(nrm[:, 2] == 0, 1.0, nrm[:, 2])
+    zx = -nrm[:, 0] / czs
+    zy = -nrm[:, 1] / czs
+    zd = -d_coef / czs
     qdata = jnp.concatenate(
         [eA, eB, eK,
-         nrm[:, 0:1], nrm[:, 1:2], nrm[:, 2:3], d_coef[:, None],
+         zx[:, None], zy[:, None], zd[:, None],
+         jnp.zeros_like(zd)[:, None],
          bbox.astype(jnp.float32)], axis=1)
     qdata = _pad_cols_128(qdata)
 
@@ -702,7 +716,7 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     zscal = jnp.stack([2.0 * near * far, far + near, far - near,
                        1.0 * row0]).astype(jnp.float32)
 
-    def kernel(counts_ref, zscal_ref, idx_ref, qdata_ref, qi_ref, zb_ref,
+    def kernel(counts_ref, zscal_ref, idx_ref, qdata_ref, zb_ref,
                st_ref, ins_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
@@ -723,9 +737,10 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             st_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
         def body(k, _):
-            q = idx_ref[0, 0, k, 0]
-            nverts = qi_ref[q, 4]
-            front = qi_ref[q, 6] > 0
+            e_ent = idx_ref[0, 0, k, 0]
+            q = (e_ent >> _BIN_F) & _BIN_FMASK
+            nverts = (e_ent >> 4) & 0xF
+            front = (e_ent & 8) > 0
             co = _face_row(qdata_ref, q, (TILE_H, TILE_W))
 
             def edge_test(inside, i):
@@ -755,12 +770,16 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             window = ((cols >= co(40)) & (cols < co(41)) &
                       (rows >= co(42)) & (rows < co(43)))
 
-            z = -(co(36) * cols + co(37) * rows + co(39)) / co(38)
-            z = nf2 / (fpn - z * fmn)
-            # Geometry pixels only: background (unwritten z) never reads the
-            # stencil in shading, and excluding it enables the z-occlusion
-            # prune in _bin_quads.
-            pass_z = (zb_ref[:] >= z * sign) & (zb_ref[:] < 3e38)
+            # zb >= sign*nf2/q  <=>  (zb*q - sign*nf2 >= 0) == (q > 0):
+            # the multiply-compare form skips two full-tile f32 divides.
+            # Same expression as the XLA _quad_fragments path — identical
+            # stencils. Geometry pixels only: background (unwritten z) never
+            # reads the stencil in shading, and excluding it enables the
+            # z-occlusion prune in _bin_quads.
+            zraw = co(36) * cols + co(37) * rows + co(38)
+            qden = fpn - zraw * fmn
+            pass_z = (((zb_ref[:] * qden - sign * nf2 >= 0) == (qden > 0))
+                      & (zb_ref[:] < 3e38))
 
             contrib = jnp.where(front, 1, -1).astype(jnp.int32)
             mask = inside & window & pass_z
@@ -777,8 +796,6 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                          lambda ty, tx, c, cn, s: (c, ty * n_tx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, _Q_COLS), lambda ty, tx, c, cn, s: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _QI_COLS), lambda ty, tx, c, cn, s: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
                          memory_space=pltpu.VMEM),
@@ -798,7 +815,7 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
         ],
         interpret=interpret,
-    )(counts.reshape(-1), zscal, idx, qdata, qi, zb_pad)
+    )(counts.reshape(-1), zscal, idx, qdata, zb_pad)
     return stencil[:height, :width]
 
 
@@ -965,7 +982,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
-    fdata = _pad_cols_128(_pad_rows_to(fdata, chunk))
+    fdata = _pad_rows_to(fdata, chunk)
     if bins is None:
         counts, idx, _ = face_bins(faces, height, width,
                                    with_debug=with_debug)
@@ -978,7 +995,24 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     sampling = windows is not None
     if sampling:
         sdata = _pad_rows_to(pack_sample_faces(faces), chunk)
+        word2 = _pad_rows_to(pack_sample_word2(faces), chunk)
+        # word2 rides in SMEM (scalar-prefetch): per-visit scalar reads from
+        # SMEM are ~free vs ~38 cycles from a VMEM table. SMEM is small —
+        # bound the mesh size this path accepts.
+        assert word2.shape[0] <= 32768, (
+            "textured mesh too large for SMEM word2; raise FACE_CHUNK "
+            "sharding or fall back to sdata reads")
         wrows = windows.shape[1]
+        # Texture shape / window-grid origin as f32 fdata columns: their
+        # uses are all vector math, so they arrive as VREG broadcasts.
+        X2 = fdata.shape[1]
+        fdata = jnp.concatenate([
+            fdata,
+            _pad_rows_to(jnp.stack(
+                [faces["wthw"][:, 0], faces["wthw"][:, 1],
+                 faces["wrbase"], faces["wcbase"]],
+                axis=1).astype(jnp.float32), chunk)], axis=1)
+    fdata = _pad_cols_128(fdata)
 
     def kernel(counts_ref, idx_ref, fdata_ref, *rest):
         if sampling:
@@ -1014,9 +1048,11 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 return pltpu.make_async_copy(
                     win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
 
+            w2base = n_chunks * n_ty * n_tx + 1 + c * chunk
+
             def prefetch(k, buf):
-                fp = idx_ref[0, 0, k, 0] & _BIN_FMASK
-                spec_dma(buf, sdata_ref[fp, 1]).start()
+                fp = (idx_ref[0, 0, k, 0] >> _BIN_F) & _BIN_FMASK
+                spec_dma(buf, counts_ref[w2base + fp] >> _W2_WB).start()
 
         @pl.when(jnp.logical_not(phase))
         def _():
@@ -1060,13 +1096,14 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 gid = gid0k + f
                 buf = jax.lax.rem(k, 2)
                 if sampling and _dbg_samp:
+                    w2 = counts_ref[w2base + f]
                     # Start face k+1's speculative windows, then drain this
                     # face's (same double-buffer protocol as the standalone
                     # sampler kernel).
                     @pl.when(k + 1 < count)
                     def _():
                         prefetch(k + 1, 1 - buf)
-                    spec_dma(buf, sdata_ref[f, 1]).wait()
+                    spec_dma(buf, w2 >> _W2_WB).wait()
                 co = _face_row(fdata_ref, f, (_FSLAB, TILE_W))
 
                 def slab(s0):
@@ -1087,10 +1124,17 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                         iu_val, iv_val = _gb_interp_face(
                             co, X, rows, cols_s, put, with_tex_tables)
                         if sampling and _dbg_samp:
-                            @pl.when(sdata_ref[f, 4] > 0)
+                            @pl.when((w2 & 7) > 0)
                             def _():
                                 _sample_face_slab(
-                                    sdata_ref, f, buf, s0, win, iu_val,
+                                    sdata_ref, f, w2 >> _W2_WB,
+                                    (w2 >> _W2_WN) & 7,
+                                    (w2 >> _W2_NWC) & 7, w2 & 7,
+                                    co(X2).astype(jnp.int32),
+                                    co(X2 + 1).astype(jnp.int32),
+                                    co(X2 + 2).astype(jnp.int32),
+                                    co(X2 + 3).astype(jnp.int32),
+                                    buf, s0, win, iu_val,
                                     iv_val, spec, sync, sem_sync, win_hbm,
                                     samp_ref, mask_ref, n_kinds)
                 _for_each_slab(s_base, n_slabs, slab)
@@ -1125,8 +1169,10 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             (GB_CHANNELS, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
     ]
     scratch_shapes = []
-    counts1 = jnp.concatenate([counts.reshape(-1),
-                               faces["gid"][0].reshape(1)])
+    tail = [counts.reshape(-1), faces["gid"][0].reshape(1)]
+    if sampling:
+        tail.append(word2)
+    counts1 = jnp.concatenate(tail)
     inputs = [counts1, idx, fdata]
     if sampling:
         in_specs += [
@@ -1184,7 +1230,8 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 _S_COLS = 16
 
 
-def _sample_face_slab(sdata_ref, f, buf, s0, win, iu_s, iv_s, spec, sync,
+def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
+                      cbase, buf, s0, win, iu_s, iv_s, spec, sync,
                       sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
                       sweep=True):
     """Window visits + gather sweep for one face over one winning pixel slab.
@@ -1195,20 +1242,17 @@ def _sample_face_slab(sdata_ref, f, buf, s0, win, iu_s, iv_s, spec, sync,
     [s0, s0+_SLAB); the face's speculative windows must already be resident
     in ``spec[buf]``.
 
+    ``wb``/``wn``/``nwc``/``kmask`` are scalars (from the SMEM word2, wn and
+    nwc saturated at 7 — exact whenever wn <= _SPEC, which is the only place
+    they are used exactly); ``th``/``tw``/``rbase``/``cbase`` are i32
+    scalars or (slab, 128) broadcasts — all their uses are vector math. The
+    footprint path (wn > _SPEC) re-reads exact grid scalars from sdata.
+
     Reference get_UV indexing (core.py:138-143), identical float ops to
     pipeline._wrap_index for bit-parity with the XLA gather path.
     """
-    wb = sdata_ref[f, 1]
-    nwr = sdata_ref[f, 2]
-    nwc = sdata_ref[f, 3]
-    kmask = sdata_ref[f, 4]
-    th = sdata_ref[f, 5]
-    tw = sdata_ref[f, 6]
-    rbase = sdata_ref[f, 7]
-    cbase = sdata_ref[f, 8]
     thf = th.astype(jnp.float32)
     twf = tw.astype(jnp.float32)
-    wn = nwr * nwc
     wn_spec = jnp.minimum(wn, _SPEC)
 
     # Single-period negative wrap (numpy fancy-indexing semantics): legal
@@ -1255,18 +1299,23 @@ def _sample_face_slab(sdata_ref, f, buf, s0, win, iu_s, iv_s, spec, sync,
             for k in range(n_kinds):
                 samp_ref[k, pl.ds(s0, _SLAB), :] = accs[k]
 
-    def visit_at(wc_lo, wc_hi):
+    def visit_at(wc_lo, wc_hi, nwc_x):
         def visit(v, carry):
             wr, wc = carry
-            off = wr * nwc + wc
-            # Window texel origin, wrapped into the texture (scalar f32
-            # floor-mod — no integer division on TPU); rel of wrapped texel
-            # coords corrected by one texture period where the window
-            # straddles the wrap seam.
-            r0 = (rbase + (wr << 4)).astype(jnp.float32)
-            c0 = (cbase + (wc << 7)).astype(jnp.float32)
-            r0w = (r0 - thf * jnp.floor(r0 / thf)).astype(jnp.int32)
-            c0w = (c0 - twf * jnp.floor(c0 / twf)).astype(jnp.int32)
+            off = wr * nwc_x + wc
+            # Window texel origin, wrapped into the texture. The origin
+            # sits in (-dim, 3*dim) (scene._window_metadata anchors on the
+            # unwrapped UV bbox, one period off at most), so one conditional
+            # add + two conditional subtracts replace the floor-mod divide —
+            # exact integer arithmetic either way.
+            r0 = rbase + (wr << 4)
+            c0 = cbase + (wc << 7)
+            r0 = r0 + th * (r0 < 0)
+            c0 = c0 + tw * (c0 < 0)
+            r0w = r0 - th * (r0 >= th)
+            r0w = r0w - th * (r0w >= th)
+            c0w = c0 - tw * (c0 >= tw)
+            c0w = c0w - tw * (c0w >= tw)
             rel_r = row - r0w
             rel_r = rel_r + th * (rel_r < -(th - WIN_R))
             rel_c = col - c0w
@@ -1294,23 +1343,27 @@ def _sample_face_slab(sdata_ref, f, buf, s0, win, iu_s, iv_s, spec, sync,
     # more than the 0-3 extra inwin-masked visits they could prune.
     @pl.when(wn <= _SPEC)
     def _():
-        jax.lax.fori_loop(0, wn, visit_at(0, nwc - 1), (0, 0))
+        jax.lax.fori_loop(0, wn, visit_at(0, nwc - 1, nwc), (0, 0))
 
     @pl.when(wn > _SPEC)
     def _():
         # Slab texel footprint (winning pixels) -> the window subgrid it
-        # intersects.
+        # intersects. Exact grid scalars from the sdata table (rare path).
+        nwr_x = sdata_ref[f, 2]
+        nwc_x = sdata_ref[f, 3]
+        rb_x = sdata_ref[f, 7]
+        cb_x = sdata_ref[f, 8]
         big = jnp.int32(2 ** 30)
         trmin = jnp.min(jnp.where(win, row, big))
         trmax = jnp.max(jnp.where(win, row, -big))
         tcmin = jnp.min(jnp.where(win, col, big))
         tcmax = jnp.max(jnp.where(win, col, -big))
-        wr0 = jnp.clip((trmin - rbase) >> 4, 0, nwr - 1)
-        wr1 = jnp.clip((trmax - rbase) >> 4, 0, nwr - 1)
-        wc0 = jnp.clip((tcmin - cbase) >> 7, 0, nwc - 1)
-        wc1 = jnp.clip((tcmax - cbase) >> 7, 0, nwc - 1)
+        wr0 = jnp.clip((trmin - rb_x) >> 4, 0, nwr_x - 1)
+        wr1 = jnp.clip((trmax - rb_x) >> 4, 0, nwr_x - 1)
+        wc0 = jnp.clip((tcmin - cb_x) >> 7, 0, nwc_x - 1)
+        wc1 = jnp.clip((tcmax - cb_x) >> 7, 0, nwc_x - 1)
         nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
-        jax.lax.fori_loop(0, nv, visit_at(wc0, wc1), (wr0, wc0))
+        jax.lax.fori_loop(0, nv, visit_at(wc0, wc1, nwc_x), (wr0, wc0))
 
 #: Texel rows per window / per kind plane inside a window-content row block.
 WIN_R = 16
@@ -1324,6 +1377,24 @@ _SPEC = 4
 #: and be a multiple of 8 for aligned dynamic sublane slices).
 _SLAB = 16
 _SLAB_SHIFT = _SLAB.bit_length() - 1
+
+
+# Sampler word2 (SMEM, appended to the scalar-prefetch counts vector): the
+# scalars a sampling visit needs with no VMEM table read. wn/nwc saturate at
+# 7 — the kernel only compares them against _SPEC (4) and uses them exactly
+# when wn <= _SPEC; larger grids take the footprint path, which re-reads the
+# exact values from the sdata table (rare).
+_W2_WN = 3
+_W2_NWC = 6
+_W2_WB = 9
+
+
+def pack_sample_word2(faces):
+    """faces dict -> (G,) i32 sampler scalars (see _W2_*)."""
+    wn = jnp.minimum(faces["wnwr"] * faces["wnwc"], 7)
+    nwc = jnp.minimum(faces["wnwc"], 7)
+    return (faces["wkmask"] | (wn << _W2_WN) | (nwc << _W2_NWC)
+            | (faces["wbase"] << _W2_WB)).astype(jnp.int32)
 
 
 def pack_sample_faces(faces):
@@ -1392,6 +1463,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         c = pl.program_id(2)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         gid0k = counts_ref[n_chunks * n_ty * n_tx] + c * chunk
+        w2base = n_chunks * n_ty * n_tx + 1 + c * chunk
 
         @pl.when(c == 0)
         def _():
@@ -1411,8 +1483,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         _dbg_scan = mode != "noscan"
 
         def prefetch(k, buf):
-            f = idx_ref[0, 0, k, 0] & _BIN_FMASK
-            spec_dma(buf, sdata_ref[f, 1]).start()
+            f = (idx_ref[0, 0, k, 0] >> _BIN_F) & _BIN_FMASK
+            spec_dma(buf, counts_ref[w2base + f] >> _W2_WB).start()
 
         @pl.when((count > 0) & _dbg_dma)
         def _():
@@ -1422,15 +1494,15 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             buf = jax.lax.rem(k, 2)
             f, _fl, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
             gid = gid0k + f
-            wb = sdata_ref[f, 1]
-            kmask = sdata_ref[f, 4]
+            w2 = counts_ref[w2base + f]
+            kmask = w2 & 7
 
             # Start face k+1's speculative windows, then drain this face's.
             @pl.when((k + 1 < count) & _dbg_dma)
             def _():
                 prefetch(k + 1, 1 - buf)
             if _dbg_dma:
-                spec_dma(buf, wb).wait()
+                spec_dma(buf, w2 >> _W2_WB).wait()
 
             @pl.when(kmask > 0)
             def _():
@@ -1445,7 +1517,11 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                         iu_s = iu_ref[pl.ds(s0, _SLAB), :]
                         iv_s = iv_ref[pl.ds(s0, _SLAB), :]
                         _sample_face_slab(
-                            sdata_ref, f, buf, s0, win, iu_s, iv_s, spec,
+                            sdata_ref, f, w2 >> _W2_WB, (w2 >> _W2_WN) & 7,
+                            (w2 >> _W2_NWC) & 7, kmask,
+                            sdata_ref[f, 5], sdata_ref[f, 6],
+                            sdata_ref[f, 7], sdata_ref[f, 8],
+                            buf, s0, win, iu_s, iv_s, spec,
                             sync, sem_sync, win_hbm, samp_ref, mask_ref,
                             n_kinds, sweep=_dbg_sweep)
 
@@ -1494,7 +1570,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ],
         interpret=interpret,
-    )(jnp.concatenate([counts.reshape(-1), faces["gid"][0].reshape(1)]),
+    )(jnp.concatenate([counts.reshape(-1), faces["gid"][0].reshape(1),
+                       _pad_rows_to(pack_sample_word2(faces), chunk)]),
       idx, sdata, windows, tid_p, iu_p, iv_p)
     return samp[:, :height, :width], mask[:height, :width]
 

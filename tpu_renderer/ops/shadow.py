@@ -183,15 +183,21 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
     for i in range(n):
         inside &= (eA[i] * cols + eB[i] * rows + eK[i]) > 0
 
-    # Plane-equation depth + linearization (triangular.py:351-354).
-    # Background pixels (z-buffer never written) are excluded: shading never
-    # reads the stencil there (pass 3 shades face pixels only, core.py:624),
-    # and the restriction enables the Pallas path's z-occlusion binning prune
-    # — both paths keep identical stencils.
-    z = -(Ax * cols + By * rows + D) / Cz
-    z = linearize_z(z, near, far)
-    zs = z * sign
-    pass_z = (zb_sign >= zs) & (zb_sign < 3e38)
+    # Plane-equation depth + linearization (triangular.py:351-354), in the
+    # divide-free multiply-compare form the Pallas stencil kernel uses (same
+    # coefficient and evaluation expressions — identical stencils):
+    # zb >= sign*lin(zraw) <=> (zb*q - sign*nf2 >= 0) == (q > 0) with
+    # q = (far+near) - zraw*(far-near). Background pixels (z-buffer never
+    # written) are excluded: shading never reads the stencil there (pass 3
+    # shades face pixels only, core.py:624), and the restriction enables the
+    # Pallas path's z-occlusion binning prune.
+    czs = jnp.where(Cz == 0, 1.0, Cz)
+    zx, zy, zd = -Ax / czs, -By / czs, -D / czs
+    zraw = zx * cols + zy * rows + zd
+    nf2 = 2.0 * near * far
+    qden = (far + near) - zraw * (far - near)
+    pass_z = (((zb_sign * qden - sign * nf2 >= 0) == (qden > 0))
+              & (zb_sign < 3e38))
 
     contrib = jnp.where(is_front, jnp.int32(1), jnp.int32(-1))
     mask = inside & window & pass_z & ok & box_valid
