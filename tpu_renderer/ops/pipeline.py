@@ -498,7 +498,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     # small frames keep the gather.
     n_kinds = max((len(mc.win_kinds) for mc in cfg.models), default=0)
     use_tex_kernel = (cfg.tex_kernel if cfg.tex_kernel is not None
-                      else local_height * width > 512 * 512)
+                      else local_height * width >= 512 * 512)
     samp = samp_mask = None
 
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
