@@ -502,12 +502,17 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     samp = samp_mask = None
 
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
-    if use_gbuffer and not sharded:
+    rows_only = axis_tris is None
+    if use_gbuffer and (not sharded or rows_only):
+        # Row-only sharding runs the SAME fused kernel as single-chip: each
+        # shard owns its frame rows completely (tile grids shift by row0),
+        # so no cross-shard merge is needed between the z and G-buffer
+        # phases and the in-kernel windowed sampler stays on.
         from tpu_renderer.ops.raster_pallas import (face_bins,
                                                     sample_textures_pallas,
                                                     visibility_gbuffer_pallas)
         from tpu_renderer.ops import raster_pallas as rp
-        bins = face_bins(faces, local_height, width,
+        bins = face_bins(faces, local_height, width, row0=row0,
                          with_debug=cfg.has_debug_camera)
         sampler_on = n_kinds > 0 and use_tex_kernel
         # With the windowed sampler active, every windowed kind skips the
@@ -550,7 +555,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             faces, attrs, local_height, width, sign,
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
             bins=bins[:2], with_tex_tables=needs_tables,
-            windows=windows, n_kinds=n_kinds if windows is not None else 0)
+            windows=windows, n_kinds=n_kinds if windows is not None else 0,
+            row0=row0)
         if sampler_on:
             zb_sign, tid, gbuffer, samp, samp_mask = outs
         else:
@@ -590,6 +596,22 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 # Each pixel's channels come from exactly one shard (global
                 # ids are unique): zero-filled partials sum to the merge.
                 gbuffer = jax.lax.psum(gbuffer, axis_tris)
+            if n_kinds > 0 and use_tex_kernel:
+                # Windowed sampling over the merged buffers: each shard
+                # samples only the pixels its own faces won (win = tid ==
+                # global id), so zero-filled partial samp/mask planes psum
+                # to the full-frame result.
+                from tpu_renderer.ops.raster_pallas import (
+                    GB_IU, GB_IV, sample_textures_pallas)
+                windows = dyn.get("windows_all")
+                if windows is not None:
+                    samp, samp_mask = sample_textures_pallas(
+                        faces, bins[:2], windows, tid, gbuffer[GB_IU],
+                        gbuffer[GB_IV], local_height, width, n_kinds,
+                        interpret=cfg.pallas_interpret)
+                    if axis_tris:
+                        samp = jax.lax.psum(samp, axis_tris)
+                        samp_mask = jax.lax.psum(samp_mask, axis_tris)
     elif use_pallas:
         from tpu_renderer.ops.raster_pallas import visibility_pallas
         zb_sign, tid = visibility_pallas(

@@ -953,7 +953,7 @@ def _gb_interp_face(co, X, rows, cols, put, with_tex_tables):
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                               with_debug=False, interpret=False, bins=None,
                               with_tex_tables=True, windows=None, n_kinds=0,
-                              mode="full"):
+                              mode="full", row0=0):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -984,7 +984,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
     fdata = _pad_rows_to(fdata, chunk)
     if bins is None:
-        counts, idx, _ = face_bins(faces, height, width,
+        counts, idx, _ = face_bins(faces, height, width, row0=row0,
                                    with_debug=with_debug)
     else:
         counts, idx = bins
@@ -1026,8 +1026,9 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         phase = step >= n_chunks
         c = step - n_chunks * phase.astype(jnp.int32)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
-        gid0k = counts_ref[n_chunks * n_ty * n_tx] + c * chunk
-        y0f = (ty * TILE_H).astype(jnp.float32)
+        gid0k = counts_ref[n_chunks * n_ty * n_tx + 1] + c * chunk
+        y0f = (ty * TILE_H + counts_ref[n_chunks * n_ty * n_tx]).astype(
+            jnp.float32)
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows_s = jax.lax.broadcasted_iota(
             jnp.int32, (_FSLAB, TILE_W), 0).astype(jnp.float32)
@@ -1048,7 +1049,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 return pltpu.make_async_copy(
                     win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
 
-            w2base = n_chunks * n_ty * n_tx + 1 + c * chunk
+            w2base = n_chunks * n_ty * n_tx + 2 + c * chunk
 
             def prefetch(k, buf):
                 fp = (idx_ref[0, 0, k, 0] >> _BIN_F) & _BIN_FMASK
@@ -1169,7 +1170,8 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             (GB_CHANNELS, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
     ]
     scratch_shapes = []
-    tail = [counts.reshape(-1), faces["gid"][0].reshape(1)]
+    tail = [counts.reshape(-1), jnp.asarray(row0, jnp.int32).reshape(1),
+            faces["gid"][0].reshape(1)]
     if sampling:
         tail.append(word2)
     counts1 = jnp.concatenate(tail)
