@@ -621,11 +621,16 @@ class Scene:
 
         mvp = np.asarray(self.camera.MVP, np.float64)
         vp = np.asarray(self.camera.viewport, np.float64)
+        near, far = self.camera.near, self.camera.far
         tris, normals = [], []
         for m in self.models:
             v = m.vertices.astype(np.float64) @ mvp
             v = v / v[:, [3]]
             v = v @ vp
+            # The reference linearizes vertex z before its (alternate)
+            # wireframe/points shaders run (triangular.py:96, then :269/:277)
+            # — the z test below compares against the linearized z-buffer.
+            v[:, 2] = (2 * near * far) / (far + near - v[:, 2] * (far - near))
             fv = m.face_array[:, :, 0]
             tris.append(v[fv][:, :, :3])
             world = m.vertices[:, :3].astype(np.float64)
