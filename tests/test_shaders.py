@@ -85,3 +85,21 @@ def test_supersampling_smooths_edges():
     u1 = len(np.unique(frame1.reshape(-1, 3), axis=0))
     u2 = len(np.unique(frame2.reshape(-1, 3), axis=0))
     assert u2 > u1
+
+
+def test_wireframe_draws_in_lh_system():
+    """Regression: wireframe compared RAW viewport z against the LINEARIZED
+    z-buffer; with LH (background -inf blocks background draws) the strict
+    test never passed and frames were silently empty. The reference
+    linearizes vertex z before its alternate shaders run
+    (triangular.py:96 -> :269)."""
+    cube = make_cube(1.0)
+    scene = tr.Scene(tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60,
+                               near=1e-4, far=400),
+                     tr.Light((3, 4, 2)),
+                     resolution=(96, 96), system=tr.SYSTEM.LH,
+                     subsystem=tr.SUBSYSTEM.OPENGL, shader="wireframe")
+    scene.add_model(cube)
+    frame = scene.render()
+    bg = frame[0, 0]
+    assert int((frame != bg).any(axis=-1).sum()) > 50
