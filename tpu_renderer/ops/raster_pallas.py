@@ -123,6 +123,7 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
         # eighth-pixel slack absorbs any fp disagreement with the kernel's
         # barycentric coverage test.
         overlap &= cm.min(axis=-1) >= -0.125
+    _check_pack_limits(n)
     counts = overlap.reshape(n_ty * n_tx, n).sum(axis=1, dtype=jnp.int32)
     if flags is None:
         key = (~overlap).reshape(n_ty * n_tx, n).astype(jnp.int32)
@@ -749,15 +750,22 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                 cross = co(i) * cols + co(12 + i) * rows + co(24 + i)
                 return inside & (cross > 0)
 
-            # Clipped polys average ~4 vertices: test 6 edges unconditionally
-            # and the rare 7..12 only when present (one branch vs 6 edge
-            # evaluations — halves the per-visit vector work). The branch
-            # carries through an i32 scratch ref: Mosaic lowers pl.when on
+            # Clipped polys average ~4 vertices: test 4 edges straight-line,
+            # 5-6 and the rare 7..12 only when present (a taken-false pl.when
+            # is far cheaper than a full-tile edge evaluation). Branches
+            # carry through an i32 scratch ref: Mosaic lowers pl.when on
             # ref mutations but not lax.cond with vector carries.
             inside = jnp.ones((TILE_H, TILE_W), bool)
-            for i in range(6):
+            for i in range(4):
                 inside = edge_test(inside, i)
             ins_ref[:] = inside.astype(jnp.int32)
+
+            @pl.when(nverts > 4)
+            def _():
+                ins = ins_ref[:] != 0
+                for i in range(4, 6):
+                    ins = edge_test(ins, i)
+                ins_ref[:] = ins.astype(jnp.int32)
 
             @pl.when(nverts > 6)
             def _():
@@ -1397,6 +1405,13 @@ def pack_sample_word2(faces):
     nwc = jnp.minimum(faces["wnwc"], 7)
     return (faces["wkmask"] | (wn << _W2_WN) | (nwc << _W2_NWC)
             | (faces["wbase"] << _W2_WB)).astype(jnp.int32)
+
+
+def _check_pack_limits(n):
+    """The packed bin-entry/word2 layouts assume chunk-local indices fit 13
+    bits; FACE_CHUNK and the window-row base share the same budget class."""
+    assert n <= (1 << 13), (
+        f"chunk {n} exceeds the 13-bit packed bin index (see _BIN_*)")
 
 
 def pack_sample_faces(faces):
