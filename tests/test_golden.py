@@ -65,13 +65,18 @@ def _build_reference(reference, light_kwargs, cam_kwargs, *, textures,
     return scene
 
 
-def compare(ours, ref, name, good_frac=0.975, mean_tol=1.5):
+def compare(ours, ref, name, good_frac=0.998, mean_tol=0.5):
+    # Measured fidelity (round 2): every golden is >= 0.9990 within ±2 with
+    # mean <= 0.03, except the orthographic scene (0.985, mean 1.10 — the
+    # ortho depth quirk amplifies f32-vs-f64 rounding); its caller loosens
+    # the bound explicitly.
     interior = np.s_[BORDER:-BORDER, BORDER:-BORDER]
     a = ours[interior].astype(np.int32)
     b = ref[interior].astype(np.int32)
     diff = np.abs(a - b).max(axis=-1)
     frac = float((diff <= 2).mean())
     mean = float(np.abs(a - b).mean())
+    print(f"[golden {name}] within2={frac:.5f} mean={mean:.4f}", flush=True)
     if frac < good_frac or mean > mean_tol:
         from PIL import Image
         Image.fromarray(ours).save(f"/tmp/golden_{name}_ours.png")

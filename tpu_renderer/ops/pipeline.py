@@ -514,7 +514,11 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         from tpu_renderer.ops import raster_pallas as rp
         bins = face_bins(faces, local_height, width, row0=row0,
                          with_debug=cfg.has_debug_camera)
-        sampler_on = n_kinds > 0 and use_tex_kernel
+        # The in-kernel sampler rides its per-face scalars in SMEM (word2);
+        # huge textured meshes fall back to the XLA gather path rather than
+        # overflow scalar memory.
+        sampler_on = (n_kinds > 0 and use_tex_kernel
+                      and faces["sx"].shape[0] <= 32768)
         # With the windowed sampler active, every windowed kind skips the
         # XLA gather, so phase 1 needn't interpolate the slot/shape table
         # channels — unless some model has a texture kind the sampler
@@ -596,7 +600,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 # Each pixel's channels come from exactly one shard (global
                 # ids are unique): zero-filled partials sum to the merge.
                 gbuffer = jax.lax.psum(gbuffer, axis_tris)
-            if n_kinds > 0 and use_tex_kernel:
+            if n_kinds > 0 and use_tex_kernel \
+                    and faces["sx"].shape[0] <= 32768:
                 # Windowed sampling over the merged buffers: each shard
                 # samples only the pixels its own faces won (win = tid ==
                 # global id), so zero-filled partial samp/mask planes psum
