@@ -4,6 +4,11 @@
   nosamp: z pass + interp, no texture sampling
   nogb  : z pass + phase-1 win scan only (no interp, no sampling)
   zonly : z pass only
+
+Run WITH A MODE ARGUMENT (one process per mode): compiling several mode
+variants of the kernel into one process trips the 16 MB scoped-VMEM
+compiler limit that a single variant stays under.
+  for m in full nosamp nogb zonly; do python tools/exp_fused.py $m; done
 """
 from __future__ import annotations
 
@@ -48,9 +53,9 @@ def main():
             windows=windows, n_kinds=n_kinds, mode=mode)
         return outs[1]
 
+    modes = sys.argv[1:] or ["full", "nosamp", "nogb", "zonly"]
     run_traced_each(
-        [(m, lambda r, _, m=m: run(r, m))
-         for m in ("full", "nosamp", "nogb", "zonly")], (0,))
+        [(m, lambda r, _, m=m: run(r, m)) for m in modes], (0,))
 
 
 if __name__ == "__main__":

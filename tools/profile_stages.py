@@ -1,5 +1,11 @@
 """Per-stage device timings of the flagship 1024^2 frame.
 
+SUPERSEDED by tools/exp_fulltrace.py for kernel attribution: standalone-jit
+stage timings measured here carry several ms of per-call dispatch that the
+in-frame device trace does not (e.g. the fused kernel reads 12 ms standalone
+vs 6 ms in-frame) — use this only for rough end-to-end stage sanity, and the
+profiler-based tools for real numbers.
+
 Microbenchmark discipline for the axon tunnel (CLAUDE.md): inputs made
 device-resident first (jnp.asarray), each stage jitted standalone, timed with
 an enqueue-N / sync-small-slice loop so neither compile time nor the 28 MB/s
