@@ -21,7 +21,6 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 from tpu_renderer.ops import raster_pallas as rp
-from tools.exp_trace import run_traced_each
 
 H = W = 1024
 
@@ -46,16 +45,42 @@ def main():
     faces, attrs, bins = jax.tree_util.tree_map(jnp.asarray, setup(dyn))
     windows = dyn["windows_all"]
 
-    def run(r, mode):
-        fc = dict(faces, valid=faces["valid"] & (r >= 0))
-        outs = rp.visibility_gbuffer_pallas(
-            fc, attrs, H, W, sign, bins=bins, with_tex_tables=False,
-            windows=windows, n_kinds=n_kinds, mode=mode)
-        return outs[1]
+    # Chain the reps (each consumes a scalar of the previous tid): without a
+    # data dependency XLA overlaps two kernel instances and their combined
+    # scoped VMEM (2 x ~8.7 MB) trips the 16 MB compiler limit.
+    import shutil
+    from tpu_renderer.utils.profiling import trace, summarize_device_trace
 
-    modes = sys.argv[1:] or ["full", "nosamp", "nogb", "zonly"]
-    run_traced_each(
-        [(m, lambda r, _, m=m: run(r, m)) for m in modes], (0,))
+    REPS = 6
+
+    def measure(mode):
+        @jax.jit
+        def program(faces, attrs):
+            acc = jnp.int32(0)
+            outs = []
+            for _ in range(REPS):
+                # aff reaches fdata (valid does not — bins are precomputed),
+                # so this both defeats CSE and serializes the reps.
+                fc = dict(faces, aff=faces["aff"]
+                          + (acc >> 30).astype(jnp.float32))
+                o = rp.visibility_gbuffer_pallas(
+                    fc, attrs, H, W, sign, bins=bins, with_tex_tables=False,
+                    windows=windows, n_kinds=n_kinds, mode=mode)
+                acc = o[1][0, 0]
+                outs.append(o[1][:8, :1])
+            return jnp.concatenate(outs)
+
+        np.asarray(program(faces, attrs))
+        ld = f"/tmp/exp_fused_{mode}"
+        shutil.rmtree(ld, ignore_errors=True)
+        with trace(ld):
+            np.asarray(program(faces, attrs))
+        rows = summarize_device_trace(ld)
+        tot = sum(ms for ms, _, _ in rows) / REPS
+        print(f"{tot:8.3f} ms/call  {mode}")
+
+    for m in (sys.argv[1:] or ["full", "nosamp", "nogb", "zonly"]):
+        measure(m)
 
 
 if __name__ == "__main__":
