@@ -160,15 +160,32 @@ def _bench_scene(name, scene, n=15, animate=None):
     np.asarray(step(dyn, positions[0]))
     t0 = time.time()
     frames = [step(dyn, positions[i]) for i in range(n)]
-    np.asarray(frames[-1])
+    np.asarray(frames[-1][:8, :128])
     fps = n / (time.time() - t0)
     faces = sum(m.num_faces for m in scene.models)
-    print(json.dumps({"config": name, "fps": round(fps, 2),
-                      "mtri_per_s": round(faces * fps / 1e6, 3)}))
+    row = {"config": name, "fps": round(fps, 2),
+           "mtri_per_s": round(faces * fps / 1e6, 3)}
+    print(json.dumps(row))
+    return row
+
+
+def _bench_all_artifact():
+    """Round-tagged artifact path for the config matrix (BENCH_ALL_r{N}.json,
+    N = latest driver-recorded round) so config-level regressions are visible
+    round-over-round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1)) for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(here, f"BENCH_ALL_r{n:02d}.json")
 
 
 def bench_all():
-    """Secondary benchmarks: BASELINE.json configs 1-4 (one JSON line each).
+    """Secondary benchmarks: BASELINE.json configs 1-4 (one JSON line each),
+    recorded to BENCH_ALL_r{N}.json.
 
     The driver consumes only main()'s single line; this mode documents the
     full config matrix."""
@@ -184,7 +201,8 @@ def bench_all():
                   system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL,
                   shader="gouraud")
     s1.add_model(d)
-    _bench_scene("1: diablo 512 gouraud no-shadows", s1)
+    rows = []
+    rows.append(_bench_scene("1: diablo 512 gouraud no-shadows", s1))
 
     # 2: textured diablo + backface culling, perspective and orthographic.
     for proj, label in ((tr.PROJECTION_TYPE.PERSPECTIVE, "persp"),
@@ -199,7 +217,7 @@ def bench_all():
                       resolution=(512, 512), system=tr.SYSTEM.LH,
                       subsystem=tr.SUBSYSTEM.OPENGL)
         s2.add_model(d2)
-        _bench_scene(f"2: textured diablo backface {label}", s2)
+        rows.append(_bench_scene(f"2: textured diablo backface {label}", s2))
 
     # 3: floor + handgrip-textured cube, tangent normal mapping, spot light.
     floor = make_floor(2.0, y=-1.0)
@@ -220,7 +238,7 @@ def bench_all():
                   subsystem=tr.SUBSYSTEM.OPENGL)
     s3.add_model(floor)
     s3.add_model(grip)
-    _bench_scene("3: floor+handgrip normal-mapped spot", s3)
+    rows.append(_bench_scene("3: floor+handgrip normal-mapped spot", s3))
 
     # 4: skybox + multi-model chained transforms.
     d4 = tr.Model.load_model(os.path.join(base, "diablo3_pose.obj"))
@@ -236,7 +254,12 @@ def bench_all():
                   subsystem=tr.SUBSYSTEM.OPENGL, skymap=sky)
     s4.add_model(d4)
     s4.add_model(c4)
-    _bench_scene("4: skybox multi-model chained", s4)
+    rows.append(_bench_scene("4: skybox multi-model chained", s4))
+
+    path = _bench_all_artifact()
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(json.dumps({"artifact": os.path.basename(path)}))
 
 
 if __name__ == "__main__":

@@ -421,10 +421,15 @@ class Scene:
                       default=0)
         if n_kinds == 0:
             return None
-        key = tuple(id(p.get("windows")) for p in packets) + (n_kinds,)
+        # Cache keyed on the window arrays THEMSELVES (identity compare):
+        # holding the references keeps them alive, so a rebuilt packet can
+        # never alias a freed array's id() and serve stale windows.
+        key_arrays = [p.get("windows") for p in packets]
         cached = getattr(self, "_windows_all_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        if (cached is not None and cached[1] == n_kinds
+                and len(cached[0]) == len(key_arrays)
+                and all(a is b for a, b in zip(cached[0], key_arrays))):
+            return cached[2]
         parts = []
         for p in packets:
             if not p["_config"].win_kinds:
@@ -442,7 +447,7 @@ class Scene:
             out = jnp.concatenate(parts, axis=0)
         else:
             out = None
-        self._windows_all_cache = (key, out)
+        self._windows_all_cache = (key_arrays, n_kinds, out)
         return out
 
     @staticmethod

@@ -496,9 +496,12 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     # In-kernel windowed texture sampling: on where it beats the per-pixel
     # XLA gather (~13 ms/Mpx); the visit count is resolution-independent, so
     # small frames keep the gather.
+    # Auto mode keys on the GLOBAL frame size so the sampler decision does
+    # not silently flip with the shard count (per-visit cost is resolution-
+    # independent, so the global frame is the right economic unit).
     n_kinds = max((len(mc.win_kinds) for mc in cfg.models), default=0)
     use_tex_kernel = (cfg.tex_kernel if cfg.tex_kernel is not None
-                      else local_height * width >= 512 * 512)
+                      else height * width >= 512 * 512)
     samp = samp_mask = None
 
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass

@@ -1414,6 +1414,21 @@ def _check_pack_limits(n):
         f"chunk {n} exceeds the 13-bit packed bin index (see _BIN_*)")
 
 
+def _max_bin_entry():
+    """Maximum composable packed bin entry — statically asserted < 2**31 so
+    any widening of the index/flag/slab fields fails loudly at import time
+    instead of wrapping into the i32 sign bit and corrupting the sort."""
+    return ((1 << _BIN_KEY)
+            + (((1 << 13) - 1) << _BIN_F)        # chunk-local index
+            + (0xF << _BIN_FLAGS)                 # 4 flag bits
+            + (0x7 << _BIN_SB) + (0x7 << _BIN_NSL))
+
+
+assert _max_bin_entry() < 2 ** 31, (
+    f"packed bin entry {_max_bin_entry()} overflows int31 — shrink a field "
+    f"(headroom was 127 at the round-2 layout)")
+
+
 def pack_sample_faces(faces):
     """faces dict -> (G, _S_COLS) int32 sampler table."""
     g = faces["sx"].shape[0]
