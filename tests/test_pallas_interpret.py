@@ -49,10 +49,13 @@ def test_pallas_interpret_matches_xla(scene):
     assert same.mean() >= 0.999, same.mean()
 
 
-def test_pallas_interpret_gouraud(scene):
-    """Non-G-buffer Pallas path (visibility_pallas) via gather shading."""
+@pytest.mark.parametrize("shader", ["flat", "gouraud", "pbr"])
+def test_pallas_interpret_slim_shaders(scene, shader):
+    """Slim G-buffer kernel path (flat/gouraud/pbr interpolate their 3-11
+    channels in-kernel, raster_pallas._SLIM_CHANNELS) vs the XLA gather
+    path."""
     cfg, dyn = scene._prepare()
-    cfg_g = dataclasses.replace(cfg, shader="gouraud")
+    cfg_g = dataclasses.replace(cfg, shader=shader)
     xla_out = render_frame_jit(cfg_g, dyn)
     cfg_p = dataclasses.replace(cfg_g, backend="pallas", pallas_interpret=True)
     pallas_out = render_frame_jit(cfg_p, dyn)

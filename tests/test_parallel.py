@@ -125,6 +125,31 @@ def test_sharded_pallas_diablo_scale(shape):
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
+@pytest.mark.parametrize("shader", ["gouraud", "pbr"])
+def test_sharded_slim_gbuffer_matches_single_chip(shape, shader):
+    """Slim G-buffer layouts (flat/gouraud/pbr) under sharding: rows-only
+    shards run the fused slim kernel with row0; tris shards interpolate the
+    slim channels via gbuffer_pallas against merged buffers and psum the
+    zero-filled partials."""
+    n_rows, n_tris = shape
+    scene = _scene((64, 64))
+    scene.backend = "pallas"
+    scene.shader = shader
+    cfg, dyn = _cfg_dyn(scene)
+    assert cfg.shader == shader and cfg.backend == "pallas"
+
+    single, zb1, tid1, st1 = render_frame_jit(cfg, dyn)
+    mesh = make_render_mesh(jax.devices()[:n_rows * n_tris], n_tris=n_tris)
+    sharded, zb2, tid2, st2 = render_frame_sharded(cfg, dyn, mesh)
+
+    single = np.asarray(single)
+    sharded = np.asarray(sharded)
+    same = (single == sharded).all(axis=-1)
+    assert same.mean() >= 0.999, f"only {same.mean():.4f} identical"
+    np.testing.assert_allclose(np.asarray(zb1), np.asarray(zb2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
 def test_sharded_windowed_sampler_matches_single_chip(shape):
     """The in-kernel windowed texture sampler under sharding: rows-only
     shards run it fused (visibility_gbuffer_pallas with row0), tris shards

@@ -436,6 +436,48 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0,
     return jnp.where(bg[..., None], background, rgb)
 
 
+def _background(cfg: SceneConfig, dyn, cam_m, height, width, row0):
+    if cfg.background == "color":
+        return jnp.broadcast_to(dyn["background_color"], (height, width, 3))
+    from tpu_renderer.ops.cubemap import fill_frame_from_skybox
+    return fill_frame_from_skybox(dyn["skybox"], cam_m, (height, width), row0)
+
+
+def _shade_slim(cfg: SceneConfig, dyn, tid, gb, cam_m, row0=0):
+    """Deferred shading from the slim kernel G-buffer (flat/gouraud/pbr).
+
+    The non-general shaders read no textures (reference triangular.py:
+    174-182, 220-266): lighting consumes only the screen-barycentric-
+    interpolated normal — plus screen position and Pm/Pr/Ka for PBR — so the
+    kernel forwards 3-11 channels (raster_pallas._SLIM_CHANNELS) and the
+    per-pixel attribute gathers of :func:`_shade` disappear entirely.
+    """
+    height, width = tid.shape[0], cfg.resolution[1]
+    bg = tid < 0
+
+    light = dict(dyn["light"])
+    light["light_type"] = cfg.light_type
+    light["direction"] = normalize(
+        light["position"] - light["center"]).ravel()
+
+    vec = lambda c: jnp.moveaxis(gb[c:c + 3], 0, -1)
+    if cfg.shader == SHADER_FLAT:
+        rgb = sh.shade_flat(vec(0), light)
+    elif cfg.shader == SHADER_GOURAUD:
+        rgb = sh.shade_gouraud_n(vec(0), light)
+    else:                                           # SHADER_PBR
+        pix = {
+            "normal_raw": normalize(vec(0)),
+            "screen_pos": vec(3),
+            "metallic": gb[6][..., None], "roughness": gb[7],
+            "ao": vec(8),
+        }
+        rgb = sh.shade_pbr(pix, light, dyn["camera"]["position"])
+
+    background = _background(cfg, dyn, cam_m, height, width, row0)
+    return jnp.where(bg[..., None], background, rgb)
+
+
 def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 axis_rows=None, axis_tris=None):
     """Render the (possibly row/triangle-sharded) frame BEFORE flip/quantize.
@@ -487,10 +529,13 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     use_pallas = cfg.backend == "pallas"
     sharded = axis_tris is not None or axis_rows is not None
 
-    # The general shader gets its attributes forward-interpolated by the
-    # kernel (G-buffer) — per-pixel table gathers are pathologically slow on
-    # TPU; other shaders use the gather-based _shade path.
+    # Every device shader gets its attributes forward-interpolated by the
+    # kernel — per-pixel table gathers are pathologically slow on TPU. The
+    # general shader uses the full 32-channel G-buffer (+ windowed texture
+    # sampling); flat/gouraud/pbr use the 3-11 channel slim layouts.
     use_gbuffer = use_pallas and cfg.shader == SHADER_GENERAL
+    slim_layout = (cfg.shader if use_pallas and cfg.shader in
+                   (SHADER_FLAT, SHADER_GOURAUD, SHADER_PBR) else None)
     gbuffer = None
 
     # In-kernel windowed texture sampling: on where it beats the per-pixel
@@ -506,7 +551,18 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
 
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
     rows_only = axis_tris is None
-    if use_gbuffer and (not sharded or rows_only):
+    if slim_layout and (not sharded or rows_only):
+        # Slim fused kernel: z + ids + the few channels flat/gouraud/pbr
+        # read, no texture tables, no sampler.
+        from tpu_renderer.ops.raster_pallas import (face_bins,
+                                                    visibility_gbuffer_pallas)
+        bins = face_bins(faces, local_height, width, row0=row0,
+                         with_debug=cfg.has_debug_camera)
+        zb_sign, tid, gbuffer = visibility_gbuffer_pallas(
+            faces, attrs, local_height, width, sign,
+            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
+            bins=bins[:2], gb_layout=slim_layout, row0=row0)
+    elif use_gbuffer and (not sharded or rows_only):
         # Row-only sharding runs the SAME fused kernel as single-chip: each
         # shard owns its frame rows completely (tile grids shift by row0),
         # so no cross-shard merge is needed between the z and G-buffer
@@ -594,16 +650,17 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             tid = jax.lax.pmax(tid, axis_tris)
         else:
             zb_sign, tid = zb_local, tid_local
-        if use_gbuffer:
+        if use_gbuffer or slim_layout:
             gbuffer = gbuffer_pallas(
                 faces, attrs, tid, local_height, width,
                 with_debug=cfg.has_debug_camera,
-                interpret=cfg.pallas_interpret, bins=bins[:2], row0=row0)
+                interpret=cfg.pallas_interpret, bins=bins[:2], row0=row0,
+                gb_layout=slim_layout or "general")
             if axis_tris:
                 # Each pixel's channels come from exactly one shard (global
                 # ids are unique): zero-filled partials sum to the merge.
                 gbuffer = jax.lax.psum(gbuffer, axis_tris)
-            if n_kinds > 0 and use_tex_kernel \
+            if use_gbuffer and n_kinds > 0 and use_tex_kernel \
                     and faces["sx"].shape[0] <= 32768:
                 # Windowed sampling over the merged buffers: each shard
                 # samples only the pixels its own faces won (win = tid ==
@@ -637,7 +694,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             # Last-wins across shards: ids are shard-major, so pmax picks the
             # highest-id claimant among shards passing the final z-test.
             tid = jax.lax.pmax(tid, axis_tris)
-    if axis_tris and not use_gbuffer:
+    if axis_tris and not (use_gbuffer or slim_layout):
         # Gather every shard's attributes so shading can index global ids.
         attrs = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis_tris).reshape(
@@ -717,6 +774,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     if use_gbuffer:
         frame = _shade_gbuffer(cfg, dyn, tid, stencil, gbuffer, cam_m,
                                row0=row0, samp=samp, samp_mask=samp_mask)
+    elif slim_layout and gbuffer is not None:
+        frame = _shade_slim(cfg, dyn, tid, gbuffer, cam_m, row0=row0)
     else:
         frame = _shade(cfg, dyn, tid, stencil, attrs, cam_m, row0=row0)
     return frame, zbuf, tid, stencil

@@ -876,6 +876,62 @@ def pack_face_attrs(attrs):
     return jnp.concatenate(cols, axis=1)
 
 
+# Slim G-buffer layouts for the non-general shaders (reference
+# triangular.py:174-182, 220-266). These shaders read no textures, so the
+# kernel interpolates only what their lighting consumes — and with RAW screen
+# barycentric weights, exactly like the reference (gouraud/pbr use ``bar``,
+# not ``screen_perspective``). Channel maps:
+#   flat:    [0:3] face world normal (constant per face)
+#   gouraud: [0:3] screen-bar-interpolated vertex normal (unnormalized)
+#   pbr:     [0:3] interp vn, [3:6] interp (sx, sy, z_lin) screen position,
+#            [6] Pm, [7] Pr, [8:11] Ka
+_SLIM_CHANNELS = {"flat": 3, "gouraud": 3, "pbr": 11}
+
+
+def pack_slim_attrs(attrs, layout):
+    """Shading attrs -> slim per-face fdata columns (see _SLIM_CHANNELS)."""
+    g = attrs["vn"].shape[0]
+    if layout == "flat":
+        cols = [attrs["face_normal"]]
+    elif layout == "gouraud":
+        cols = [attrs["vn"].reshape(g, 9)]
+    elif layout == "pbr":
+        cols = [attrs["vn"].reshape(g, 9),
+                attrs["sx"], attrs["sy"], attrs["szlin"],
+                attrs["pm"][:, None], attrs["pr"][:, None], attrs["ka"]]
+    else:
+        raise ValueError(f"unknown slim layout {layout!r}")
+    return jnp.concatenate(cols, axis=1)
+
+
+def _slim_interp_face(co, X, rows, cols, put, layout):
+    """Slim phase-1 body: screen-barycentric interpolation of the 3-11
+    channels the flat/gouraud/pbr shaders read (same affine u/v/w expression
+    as _face_tile_cov, so the values match pipeline._shade's XLA path)."""
+    if layout == "flat":
+        for ci in range(3):
+            put(ci, co(X + ci))
+        return
+    v = co(0) * cols + co(1) * rows + co(2)
+    w = co(3) * cols + co(4) * rows + co(5)
+    u = 1.0 - v - w
+
+    def interp(c0, c1, c2):
+        return u * c0 + v * c1 + w * c2
+
+    nv = [co(X + i) for i in range(9)]
+    for ci in range(3):
+        put(ci, interp(nv[ci], nv[3 + ci], nv[6 + ci]))
+    if layout == "pbr":
+        for ci in range(3):                        # sx / sy / z_lin triples
+            b = X + 9 + 3 * ci
+            put(3 + ci, interp(co(b), co(b + 1), co(b + 2)))
+        put(6, co(X + 18))
+        put(7, co(X + 19))
+        for ci in range(3):
+            put(8 + ci, co(X + 20 + ci))
+
+
 def _gb_interp_face(co, X, rows, cols, put, with_tex_tables):
     """Interpolate one face's G-buffer channels over a tile (phase-1 body).
 
@@ -957,11 +1013,11 @@ def _gb_interp_face(co, X, rows, cols, put, with_tex_tables):
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
                                    "interpret", "with_tex_tables", "n_kinds",
-                                   "mode"))
+                                   "mode", "gb_layout"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                               with_debug=False, interpret=False, bins=None,
                               with_tex_tables=True, windows=None, n_kinds=0,
-                              mode="full", row0=0):
+                              mode="full", row0=0, gb_layout="general"):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -987,7 +1043,11 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     """
     fdata0 = pack_faces(faces, with_debug)
     base_cols = fdata0.shape[1]
-    fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
+    extra = (pack_face_attrs(attrs) if gb_layout == "general"
+             else pack_slim_attrs(attrs, gb_layout))
+    n_gb = (GB_CHANNELS if gb_layout == "general"
+            else _SLIM_CHANNELS[gb_layout])
+    fdata = jnp.concatenate([fdata0, extra], axis=1)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
     fdata = _pad_rows_to(fdata, chunk)
@@ -1001,6 +1061,9 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     n_tx = _cdiv(width, TILE_W)
     X = base_cols                                  # extra-column base offset
     sampling = windows is not None
+    assert not (sampling and gb_layout != "general"), (
+        "the windowed sampler is a general-shader feature (slim layouts "
+        "read no textures)")
     if sampling:
         sdata = _pad_rows_to(pack_sample_faces(faces), chunk)
         word2 = _pad_rows_to(pack_sample_word2(faces), chunk)
@@ -1047,7 +1110,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         def _():
             zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
             tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
-            gb_ref[:] = jnp.zeros((GB_CHANNELS, TILE_H, TILE_W), jnp.float32)
+            gb_ref[:] = jnp.zeros((n_gb, TILE_H, TILE_W), jnp.float32)
             if sampling:
                 samp_ref[:] = jnp.zeros((n_kinds, TILE_H, TILE_W), jnp.int32)
                 mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
@@ -1130,6 +1193,10 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                             gb_ref[ch, pl.ds(s0, _FSLAB), :] = jnp.where(
                                 win, val, gb_ref[ch, pl.ds(s0, _FSLAB), :])
 
+                        if gb_layout != "general":
+                            _slim_interp_face(co, X, rows, cols_s, put,
+                                              gb_layout)
+                            return
                         iu_val, iv_val = _gb_interp_face(
                             co, X, rows, cols_s, put, with_tex_tables)
                         if sampling and _dbg_samp:
@@ -1167,7 +1234,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, st, s: (ty, tx),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((GB_CHANNELS, TILE_H, TILE_W),
+        pl.BlockSpec((n_gb, TILE_H, TILE_W),
                      lambda ty, tx, st, s: (0, ty, tx),
                      memory_space=pltpu.VMEM),
     ]
@@ -1175,7 +1242,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
         jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
         jax.ShapeDtypeStruct(
-            (GB_CHANNELS, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
+            (n_gb, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
     ]
     scratch_shapes = []
     tail = [counts.reshape(-1), jnp.asarray(row0, jnp.int32).reshape(1),
@@ -1708,19 +1775,26 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "with_debug",
-                                   "interpret", "with_tex_tables"))
+                                   "interpret", "with_tex_tables",
+                                   "gb_layout"))
 def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
-                   interpret=False, bins=None, row0=0, with_tex_tables=True):
+                   interpret=False, bins=None, row0=0, with_tex_tables=True,
+                   gb_layout="general"):
     """G-buffer interpolation against a GIVEN (merged) visibility buffer.
 
     Sharded mode: each tris-shard interpolates only the faces it owns; a
     pixel's channels are written by exactly one shard (global face ids are
     unique), so zero-initialized partial G-buffers combine with a plain psum
-    over the tris axis. Returns (GB_CHANNELS, H, W) float32.
+    over the tris axis. Returns (n_gb, H, W) float32 — GB_CHANNELS for the
+    general layout, _SLIM_CHANNELS[gb_layout] for flat/gouraud/pbr.
     """
     fdata0 = pack_faces(faces, with_debug)
     X = fdata0.shape[1]
-    fdata = jnp.concatenate([fdata0, pack_face_attrs(attrs)], axis=1)
+    extra = (pack_face_attrs(attrs) if gb_layout == "general"
+             else pack_slim_attrs(attrs, gb_layout))
+    n_gb = (GB_CHANNELS if gb_layout == "general"
+            else _SLIM_CHANNELS[gb_layout])
+    fdata = jnp.concatenate([fdata0, extra], axis=1)
     g0 = fdata.shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
     fdata = _pad_cols_128(_pad_rows_to(fdata, chunk))
@@ -1755,7 +1829,7 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
 
         @pl.when(c == 0)
         def _():
-            gb_ref[:] = jnp.zeros((GB_CHANNELS, TILE_H, TILE_W), jnp.float32)
+            gb_ref[:] = jnp.zeros((n_gb, TILE_H, TILE_W), jnp.float32)
 
         def gbody(k, _):
             f, flags, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
@@ -1773,8 +1847,12 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
                         gb_ref[ch, pl.ds(s0, _FSLAB), :] = jnp.where(
                             win, val, gb_ref[ch, pl.ds(s0, _FSLAB), :])
 
-                    _gb_interp_face(co, X, rows, cols_s, put,
-                                    with_tex_tables)
+                    if gb_layout != "general":
+                        _slim_interp_face(co, X, rows, cols_s, put,
+                                          gb_layout)
+                    else:
+                        _gb_interp_face(co, X, rows, cols_s, put,
+                                        with_tex_tables)
             _for_each_slab(s_base, n_slabs, slab)
             return 0
 
@@ -1794,7 +1872,7 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GB_CHANNELS, TILE_H, TILE_W),
+            pl.BlockSpec((n_gb, TILE_H, TILE_W),
                          lambda ty, tx, c, s: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
@@ -1803,7 +1881,7 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((GB_CHANNELS, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_gb, hp, wp), jnp.float32),
         ],
         interpret=interpret,
     )(counts1, idx, fdata, tid_p)

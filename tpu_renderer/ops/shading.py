@@ -27,7 +27,8 @@ from tpu_renderer.ops.transforms import normalize
 
 __all__ = [
     "pixel_barycentric", "sample_texture", "tangent_basis_normal",
-    "shade_general", "shade_flat", "shade_gouraud", "shade_pbr", "smoothstep",
+    "shade_general", "shade_flat", "shade_gouraud", "shade_gouraud_n",
+    "shade_pbr", "smoothstep",
     "mix",
 ]
 
@@ -194,7 +195,12 @@ def shade_flat(face_world_normal, light):
 
 def shade_gouraud(bar, normals, light):
     """Gouraud shading (reference triangular.py:180-182), screen barycentric."""
-    n = jnp.einsum("...k,...kc->...c", bar, normals)
+    return shade_gouraud_n(jnp.einsum("...k,...kc->...c", bar, normals), light)
+
+
+def shade_gouraud_n(n, light):
+    """Gouraud from a pre-interpolated (H, W, 3) vertex normal — shared by
+    the XLA gather path and the slim G-buffer kernel path."""
     intensity = jnp.clip(jnp.sum(n * light["direction"], axis=-1), 0, 1)
     return intensity[..., None] * jnp.full(3, 255.0)
 
