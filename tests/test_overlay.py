@@ -55,3 +55,36 @@ def test_light_gizmo_added():
     assert scene.models[0].clip is False
     frame = scene.render()
     assert frame.std() > 0
+
+
+@pytest.mark.parametrize("shader", ["wireframe", "points"])
+def test_device_debug_shaders_match_host(shader):
+    """The device wireframe/points path (pipeline.render_debug_frame: Pallas
+    DDA line kernel / scatter-max splat) against the host per-face loop
+    implementation it replaced (Scene._render_debug_shader_host). f32 device
+    math vs the host's f64 can flip trunc decisions on boundary pixels —
+    require near-total agreement, not bit equality."""
+    from tpu_renderer.models.gizmos import make_cube, make_floor
+
+    cube = make_cube(1.0)
+    floor = make_floor(2.0, y=-0.6)
+    scene = tr.Scene(tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60,
+                               near=0.01, far=50),
+                     tr.Light((3, 4, 2), ambient_strength=0.1),
+                     resolution=(96, 96), system=tr.SYSTEM.RH,
+                     subsystem=tr.SUBSYSTEM.OPENGL, shader=shader)
+    scene.add_model(cube)
+    scene.add_model(floor)
+    cfg, dyn = scene._prepare()
+
+    device = scene._render_debug_shader(cfg, dyn)
+    host = scene._render_debug_shader_host(cfg, dyn)
+    assert device.shape == host.shape
+    same = (device == host).all(axis=-1)
+    assert same.mean() >= 0.98, f"only {same.mean():.4f} identical"
+    # Both actually drew something beyond the background (the cube + floor
+    # scene has only ~12 distinct vertex pixels for the points shader).
+    bg = host[0, 0]
+    floor_px = 5 if shader == "points" else 50
+    assert (device != bg).any(axis=-1).sum() > floor_px
+    assert (host != bg).any(axis=-1).sum() > floor_px

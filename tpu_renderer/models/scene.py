@@ -600,9 +600,20 @@ class Scene:
         return out
 
     def _render_debug_shader(self, cfg, dyn) -> np.ndarray:
-        """Wireframe / points shaders (reference triangular.py:269-283): line
-        and point splatting are host-side debug paths; the device still
-        resolves depth."""
+        """Wireframe / points shaders (reference triangular.py:269-283), on
+        device: the Pallas DDA line kernel / scatter-max point splat
+        (pipeline.render_debug_frame) replace the per-face host loops —
+        O(faces) Python iteration mattered at 40k-face meshes."""
+        from tpu_renderer.ops.pipeline import render_debug_frame
+
+        out, zbuf, tid, stencil = render_debug_frame(cfg, dyn, self.shader)
+        self.last_zbuf, self.last_tid, self.last_stencil = zbuf, tid, stencil
+        return np.asarray(out)
+
+    def _render_debug_shader_host(self, cfg, dyn) -> np.ndarray:
+        """Host-loop reference implementation of the wireframe / points
+        shaders (the round-2 path): kept as the comparison oracle for
+        tests/test_overlay.py::test_device_debug_shaders_match_host."""
         import dataclasses
 
         from tpu_renderer.ops.overlay import draw_points, draw_wireframe

@@ -792,6 +792,93 @@ def render_frame(cfg: SceneConfig, dyn):
 render_frame_jit = jax.jit(render_frame, static_argnames=("cfg",))
 
 
+@partial(jax.jit, static_argnames=("cfg", "kind"))
+def render_debug_frame(cfg: SceneConfig, dyn, kind):
+    """Wireframe / points shaders, fully on device (reference
+    triangular.py:269-283). Replaces the per-face host loops of
+    overlay.draw_wireframe / draw_points with one compiled program:
+
+    - the normal pipeline resolves the z-buffer (shading discarded),
+    - every REAL face (no culling/validity masks — the host shaders iterate
+      all of model.face_array) re-runs the vertex stage,
+    - wireframe: a Pallas DDA line kernel (raster_pallas.lines_pallas) marks
+      pixels where any edge's DDA point passes the strict ``zbuf - z > 0``
+      test; one color makes the host's sequential splat order-free,
+    - points: endpoint splats resolve write order with a scatter-max over
+      the write index (last-wins, parity bit = red/blue), the documented
+      TPU-friendly alternative to serialized scatters.
+
+    Returns (frame_u8, zbuf, tid, stencil) like render_frame.
+    """
+    import dataclasses
+
+    assert kind in (SHADER_WIREFRAME, SHADER_POINTS)
+    cfg2 = dataclasses.replace(cfg, shader=SHADER_GOURAUD)
+    _, zbuf, tid, stencil = render_core(cfg2, dyn)
+    height, width = cfg.resolution
+    cam_m = _cam_matrices(cfg, dyn["camera"], cfg.cam_projection_type)
+    background = _background(cfg, dyn, cam_m, height, width, 0)
+
+    sxs, sys_, szs, fns, valids = [], [], [], [], []
+    for mc, md in zip(cfg.models, dyn["models"]):
+        va = transform_vertices(md["verts"], cam_m["MVP"], cam_m["viewport"],
+                                dyn["camera"]["near"], dyn["camera"]["far"])
+        vid = md["vid"]
+        screen = va["screen"][vid]
+        sxs.append(screen[..., 0])
+        sys_.append(screen[..., 1])
+        szs.append(va["zlin"][vid])
+        world = md["verts"][vid][..., :3]
+        n = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
+        nn = jnp.linalg.norm(n, axis=1, keepdims=True)
+        fns.append(n / jnp.where(nn == 0, 1.0, nn))
+        valids.append(md["pad_valid"])
+    sx = jnp.concatenate(sxs)
+    sy = jnp.concatenate(sys_)
+    sz = jnp.concatenate(szs)
+    fn = jnp.concatenate(fns)
+    valid = jnp.concatenate(valids)
+
+    interpret = cfg.pallas_interpret or jax.default_backend() != "tpu"
+    if kind == SHADER_WIREFRAME:
+        from tpu_renderer.ops.raster_pallas import lines_pallas, pack_lines
+        ia = jnp.array([0, 1, 2])
+        ib = jnp.array([1, 2, 0])
+        p0 = jnp.stack([sx[:, ia], sy[:, ia], sz[:, ia]], -1).reshape(-1, 3)
+        p1 = jnp.stack([sx[:, ib], sy[:, ib], sz[:, ib]], -1).reshape(-1, 3)
+        ldata, lbbox, coeffs = pack_lines(p0, p1, height, width)
+        mask = lines_pallas(ldata, lbbox, jnp.repeat(valid, 3), coeffs,
+                            zbuf, height, width, interpret=interpret)
+        color = jnp.asarray([64 / 255, 64 / 255, 128 / 255], jnp.float32)
+        frame = jnp.where((mask > 0)[..., None], color, background)
+    else:
+        # Backface cull against the camera direction (triangular.py:277-283:
+        # cam_dir = -position normalized; keep normal . cam_dir > 0).
+        pos = dyn["camera"]["position"]
+        cam_dir = -pos / jnp.maximum(jnp.linalg.norm(pos), 1e-30)
+        keep = valid & (jnp.sum(fn * cam_dir, axis=-1) > 0)
+        # Write sequence per face: (v0 R)(v1 B)(v1 R)(v2 B)(v2 R)(v0 B) —
+        # last write wins; resolve with a scatter-max over the write index
+        # whose parity is the color.
+        vsel = jnp.array([0, 1, 1, 2, 2, 0])
+        ci = sx[:, vsel].astype(jnp.int32)           # trunc, like .astype
+        ri = sy[:, vsel].astype(jnp.int32)
+        inb = (ri >= 0) & (ri < height) & (ci >= 0) & (ci < width)
+        ok = keep[:, None] & inb
+        order = jnp.arange(ok.size, dtype=jnp.int32).reshape(ok.shape)
+        lin = jnp.where(ok, ri * width + ci, -1)
+        win = jnp.full(height * width, -1, jnp.int32).at[
+            lin.reshape(-1)].max(order.reshape(-1), mode="drop")
+        win = win.reshape(height, width)
+        rgb = jnp.where(((win & 1) == 1)[..., None],
+                        jnp.asarray([0.0, 0.0, 1.0]),
+                        jnp.asarray([1.0, 0.0, 0.0]))
+        frame = jnp.where((win >= 0)[..., None], rgb, background)
+
+    out = (jnp.clip(frame[::-1] ** 0.8, 0.0, 1.0) * 255).astype(jnp.uint8)
+    return out, zbuf, tid, stencil
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_core_jit(cfg, dyn):
     """Pre-flip float frame + buffers — for host-side debug overlays."""

@@ -1674,6 +1674,177 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
       idx, sdata, windows, tid_p, iu_p, iv_p)
     return samp[:, :height, :width], mask[:height, :width]
 
+# ---------------------------------------------------------------- line kernel
+
+# Edge payload for the wireframe DDA kernel (pack_lines): [0] x0, [1] y0,
+# [2] z0, [3] sx, [4] sy, [5] sz, [6] step count, [7] major-x flag;
+# rows padded to 128 lanes for _face_row.
+
+
+def pack_lines(p0, p1, height, width):
+    """Directed screen-space edges -> DDA line-kernel tables.
+
+    Replicates ops/lines.bresenham_line (reference line.py:6-16) in closed
+    form: right-to-left normalization (dx > 0 swaps endpoints), steps =
+    max(|dx|, |dy|), ``int(steps)`` uniform float steps, truncating int cast
+    per emitted pixel. A zero-length edge draws its single start pixel; a
+    sub-pixel edge (0 < steps < 1) draws nothing, like the host DDA.
+
+    p0/p1: (E, 3) float32 (x, y, z) endpoints (z already linearized by the
+    caller, models/scene._render_debug_shader semantics). Returns
+    (ldata (E, 128) f32, bbox (E, 4) i32, tube_coeffs) — tube_coeffs are two
+    half-planes 2 px around the line for bin_primitives' exact tile pruning
+    (a line's bbox covers O(tiles^2) tiles, the line itself O(tiles)).
+    """
+    swap = (p1[:, 0] - p0[:, 0]) > 0
+    a = jnp.where(swap[:, None], p1, p0)
+    b = jnp.where(swap[:, None], p0, p1)
+    d = b - a
+    adx = jnp.abs(d[:, 0])
+    ady = jnp.abs(d[:, 1])
+    steps = jnp.maximum(adx, ady)
+    pt = steps == 0
+    stepv = d / jnp.where(pt, 1.0, steps)[:, None]
+    nsteps = jnp.where(pt, 1.0, jnp.floor(steps))
+    majx = jnp.where(pt, True, adx >= ady).astype(jnp.float32)
+
+    ldata = jnp.concatenate(
+        [a, stepv, nsteps[:, None], majx[:, None]], axis=1)
+    ldata = _pad_cols_128(ldata)
+
+    x_lo = jnp.floor(jnp.minimum(a[:, 0], b[:, 0]))
+    x_hi = jnp.floor(jnp.maximum(a[:, 0], b[:, 0])) + 1
+    y_lo = jnp.floor(jnp.minimum(a[:, 1], b[:, 1]))
+    y_hi = jnp.floor(jnp.maximum(a[:, 1], b[:, 1])) + 1
+    bbox = jnp.stack([jnp.clip(x_lo, 0, width), jnp.clip(x_hi, 0, width),
+                      jnp.clip(y_lo, 0, height), jnp.clip(y_hi, 0, height)],
+                     axis=1)
+    bbox = jnp.where(jnp.isfinite(bbox), bbox, 0).astype(jnp.int32)
+
+    ln = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)
+    inv = 1.0 / jnp.where(ln == 0, 1.0, ln)
+    A1 = -d[:, 1] * inv
+    B1 = d[:, 0] * inv
+    c0 = A1 * a[:, 0] + B1 * a[:, 1]
+    A = jnp.where(pt[:, None], 0.0, jnp.stack([A1, -A1], axis=1))
+    B = jnp.where(pt[:, None], 0.0, jnp.stack([B1, -B1], axis=1))
+    K = jnp.where(pt[:, None], 1.0,
+                  jnp.stack([-c0 + 2.0, c0 + 2.0], axis=1))
+    mask = jnp.ones(A.shape, bool)
+    return ldata, bbox, (A, B, K, mask)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def lines_pallas(ldata, bbox, active, coeffs, zbuf, height, width,
+                 interpret=False):
+    """Wireframe line coverage vs the final z-buffer. Returns (H, W) i32 mask.
+
+    The host wireframe (ops/overlay.draw_wireframe, reference
+    triangular.py:269-274) iterates DDA pixels per edge with a mutating
+    z-buffer; since every edge writes the same color, a pixel's final color
+    is order-free — lit iff ANY edge's DDA pixel passes the strict
+    ``z_buffer - z > 0`` test (no handedness sign: the reference shader
+    hard-codes ``> 0``) against the render z-buffer. Per (edge, tile) the
+    kernel inverts the DDA in closed form: along the major axis the step is
+    exactly ±1, so the step index is k = floor(x0 - col) (major-x; the DDA
+    normalizes to sx = -1) or the matching ceil/floor form in y, and a pixel
+    is on the line iff the minor-axis trunc matches.
+    """
+    e0 = ldata.shape[0]
+    chunk = min(FACE_CHUNK, -(-e0 // 128) * 128)
+    ldata = _pad_rows_to(ldata, chunk)
+    bbox = _pad_rows_to(bbox, chunk)
+    active = _pad_rows_to(active, chunk, fill=False)
+    coeffs = tuple(_pad_rows_to(c, chunk) for c in coeffs)
+    e = ldata.shape[0]
+    n_chunks = e // chunk
+    n_ty = _cdiv(height, TILE_H)
+    n_tx = _cdiv(width, TILE_W)
+    hp, wp = n_ty * TILE_H, n_tx * TILE_W
+    zb_pad = _pad2d(zbuf, hp, wp, jnp.inf)
+    counts, idx = [], []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        cnt, ix = bin_primitives(bbox[sl], active[sl], height, width,
+                                 edge_coeffs=tuple(cc[sl] for cc in coeffs))
+        counts.append(cnt)
+        idx.append(ix)
+    counts = jnp.stack(counts)
+    idx = jnp.stack(idx)[..., None]
+    hw = jnp.asarray([height, width], jnp.int32)
+
+    def kernel(counts_ref, hw_ref, idx_ref, ldata_ref, zb_ref, mask_ref):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        c = pl.program_id(2)
+        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
+        y0t = (ty * TILE_H).astype(jnp.float32)
+        x0t = (tx * TILE_W).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0t
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0t
+        hh = hw_ref[0].astype(jnp.float32)
+        ww = hw_ref[1].astype(jnp.float32)
+        # Host bounds are 0 < row < h-1 (exclusive on both edges).
+        inframe = ((rows > 0) & (rows < hh - 1) &
+                   (cols > 0) & (cols < ww - 1))
+
+        @pl.when(c == 0)
+        def _():
+            mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+
+        def body(k, _):
+            ee = idx_ref[0, 0, k, 0]
+            co = _face_row(ldata_ref, ee, (TILE_H, TILE_W))
+            x0, y0, z0 = co(0), co(1), co(2)
+            sxv, syv, szv = co(3), co(4), co(5)
+            nst = co(6)
+            majx = co(7) > 0
+            k_x = jnp.floor(x0 - cols)
+            k_y = jnp.where(syv > 0, jnp.ceil(rows - y0),
+                            jnp.floor(y0 - rows))
+            kk = jnp.where(majx, k_x, k_y)
+            # Minor-axis match: positive in-frame coords make trunc == floor.
+            other = jnp.where(majx,
+                              jnp.floor(y0 + kk * syv) - rows,
+                              jnp.floor(x0 + kk * sxv) - cols)
+            lit = (other == 0) & (kk >= 0) & (kk < nst) & inframe
+            z = z0 + kk * szv
+            ok = lit & (zb_ref[:] - z > 0)
+            mask_ref[:] = mask_ref[:] | jnp.where(ok, 1, 0)
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_ty, n_tx, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, 1),
+                         lambda ty, tx, c, cn, s: (c, ty * n_tx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 128), lambda ty, tx, c, cn, s: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (mask,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts.reshape(-1), hw, idx, ldata, zb_pad)
+    return mask[:height, :width]
+
+
 # ------------------------------------------------------ sharded-mode kernels
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
