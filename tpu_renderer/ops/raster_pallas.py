@@ -143,6 +143,12 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
                      - (ty * tile_h)[:, None], 0, tile_h)
     s_base = rlo_t & ~7
     n_slabs = (rhi_t - s_base + _FSLAB - 1) >> _FSLAB_SHIFT
+    # The 3-bit slab-count field saturates at 7; a saturated count means
+    # "through the end of the tile" (decoded in _for_each_slab). With
+    # _FSLAB=16 counts never exceed 4, so this is future-proofing for
+    # narrower slabs; overshoot would be harmless anyway (visits are
+    # coverage-masked and idempotent).
+    n_slabs = jnp.minimum(n_slabs, 7)
     pay_y = ((s_base >> 3) << _BIN_SB) | (n_slabs << _BIN_NSL)   # (Ty, N)
     pay_n = ((jnp.arange(n, dtype=jnp.int32) << _BIN_F)
              | (flags << _BIN_FLAGS))
@@ -302,11 +308,14 @@ def _visit_claim(fdata_ref, f, flags, rows, cols, with_debug, apply):
         run(False)
 
 
-#: Pixel-row slab height for per-visit face work (1 VREG). Faces are tiny
-#: (p50 bbox height 3 px on the flagship mesh): restricting each visit's
-#: vector work from the (64, 128) tile to the row slabs its bbox touches
-#: cuts the dominant per-visit cost ~4x. Must divide TILE_H and be a multiple
-#: of 8 (aligned dynamic sublane slices).
+#: Pixel-row slab height for per-visit face work. Faces are tiny (p50 bbox
+#: height 3 px on the flagship mesh): restricting each visit's vector work
+#: from the (64, 128) tile to the row slabs its bbox touches cuts the
+#: dominant per-visit cost ~4x. Must divide TILE_H and be a multiple of 8
+#: (aligned dynamic sublane slices). MEASURED (round 3): 8-row slabs
+#: (1 VREG) are ~17% SLOWER end-to-end (69.7 vs 83.6 fps at 1024^2) —
+#: per-slab fixed overhead (bin decode, branches, slab setup) dominates the
+#: saved VPU lanes, and boundary-crossing visits double; 16 is the optimum.
 _FSLAB = 16
 _FSLAB_SHIFT = _FSLAB.bit_length() - 1
 
@@ -329,22 +338,26 @@ def _for_each_slab(s_base, n_slabs, fn):
     Binned faces touch >= 1 slab, and (p50 bbox height 3 px) almost always
     exactly one: the first slab runs straight-line — a fori_loop iteration
     costs ~70 cycles, a taken-false pl.when far less — with branches only
-    for the 2nd and the rare 3rd+."""
+    for the 2nd and the rare 3rd+. A saturated 3-bit count (7, see
+    bin_primitives) means "through the end of the tile"."""
+    n_eff = jnp.where(n_slabs >= 7, (TILE_H - s_base) >> _FSLAB_SHIFT,
+                      n_slabs)
+
     def at(si):
         fn(jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB))
 
     at(0)
 
-    @pl.when(n_slabs > 1)
+    @pl.when(n_eff > 1)
     def _():
         at(1)
 
-    @pl.when(n_slabs > 2)
+    @pl.when(n_eff > 2)
     def _():
         def body(si, _):
             at(si)
             return 0
-        jax.lax.fori_loop(2, n_slabs, body, 0)
+        jax.lax.fori_loop(2, n_eff, body, 0)
 
 
 def _pad_cols_128(a):
@@ -552,6 +565,16 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     at a corner — if even that exceeds the tile's z-buffer maximum, no pixel
     can pass and the pair prunes (conservatively skipped across the
     linearization pole and degenerate planes).
+
+    MEASURED (round 3, tools/exp_stencil_ab.py): refining this to 16-row
+    slabs — 4x the corner-max work here plus a 4-bit slab mask in the entry
+    gating per-slab kernel sweeps — DOUBLED the cost (stencil kernel 2.38
+    -> 4.71 ms/call, pipeline total 2.75 -> 5.09 ms at 1024^2; outputs
+    bit-identical). Same lesson as _FSLAB=8: per-slab pl.when gating of an
+    unrolled sweep costs more than the masked straight-line full-tile
+    evaluation it skips. The kernel (2.38 ms) dominates the stencil
+    pipeline (binning/pack is ~0.37 ms); future wins must cut per-visit
+    vector work without adding branches, or cut visit count.
     """
     e, _ = qdata.shape
     n_ty = _cdiv(height, TILE_H)
@@ -1450,9 +1473,10 @@ WIN_C = 128
 #: ranges beyond SPEC fall back to synchronous per-window DMA.
 _SPEC = 4
 
-#: Pixel-slab height for per-visit sampler work (2 VREGs; must divide TILE_H
-#: and be a multiple of 8 for aligned dynamic sublane slices).
-_SLAB = 16
+#: Pixel-slab height for per-visit sampler work — must EQUAL _FSLAB (the
+#: fused kernel hands _sample_face_slab winner masks of _FSLAB rows) and be
+#: a multiple of 8 for aligned dynamic sublane slices.
+_SLAB = _FSLAB
 _SLAB_SHIFT = _SLAB.bit_length() - 1
 
 
