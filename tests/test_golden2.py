@@ -70,10 +70,14 @@ def test_golden_orthographic(reference):
     scene, ref_scene = _scenes(reference, None, None, cam_extra=extra)
     # ORTHOGRAPHIC forces near = |position| in both (core.py:387).
     assert np.isclose(scene.camera.near, ref_scene.camera.near)
-    # Orthographic depth amplifies f32-vs-f64 rounding (near = |position|
-    # quirk): measured 0.985 within ±2, mean 1.10.
-    compare(scene.render(), ref_scene.render(), "ortho", good_frac=0.98,
-            mean_tol=1.5)
+    # Root-caused in round 3 (tools/exp_ortho.py): the gap was never "ortho
+    # depth rounding" — debug camera == main camera puts the frustum-cube
+    # corners exactly ON the clip planes, so the overlay's clip decisions
+    # are sign-marginal and must run in f64 like the reference
+    # (frustums.py). With the f64 overlay path: 0.9957 within ±2, mean
+    # 0.077; the remainder is the usual f32 coverage/shadow-edge class.
+    compare(scene.render(), ref_scene.render(), "ortho", good_frac=0.995,
+            mean_tol=0.2)
 
 
 def test_golden_mtl_cube(reference):

@@ -15,7 +15,8 @@ import numpy as np
 
 from tpu_renderer.constants import PROJECTION_TYPE, SYSTEM
 from tpu_renderer.ops import transforms as T
-from tpu_renderer.ops.frustum import extract_frustum_planes
+from tpu_renderer.ops.frustum import (extract_frustum_planes,
+                                      extract_frustum_planes_host)
 from tpu_renderer.ops.lightning import Lightning
 
 __all__ = ["PositionedObject", "Camera", "Light", "camera_matrices"]
@@ -23,7 +24,7 @@ __all__ = ["PositionedObject", "Camera", "Light", "camera_matrices"]
 
 def camera_matrices(position, center, up, fovy, near, far, *,
                     projection_type, system, subsystem, resolution,
-                    x_offset=0, y_offset=0):
+                    x_offset=0, y_offset=0, host=False):
     """All view/projection matrices for a camera-like object, traceably.
 
     Replicates the reference mixin's composition (core.py:394-429): the
@@ -32,6 +33,14 @@ def camera_matrices(position, center, up, fovy, near, far, *,
     translate @ rotate @ projection; aspect = width / height. ``resolution``,
     ``projection_type``, ``system`` and ``subsystem`` must be static.
 
+    ``host=True`` composes with numpy instead of XLA (non-traceable). Under
+    a ``jax.enable_x64(True)`` scope the individual builders are already
+    bit-identical to the reference's f64 numpy matrices; numpy's ``@``
+    makes the *composed* MVP and the frustum planes bit-identical too (XLA's
+    f64 dot sums in a different order, and the debug-overlay clip decisions
+    are sign-sensitive at the last ulp — the frustum-cube corners lie
+    exactly ON the clip planes whenever debug camera == main camera).
+
     Returns dict with lookat, projection, MVP, viewport, frustum_planes.
     """
     height, width = resolution
@@ -39,18 +48,28 @@ def camera_matrices(position, center, up, fovy, near, far, *,
     rotate_fn = (T.look_at_rotate_lh if system == SYSTEM.LH
                  else T.look_at_rotate_rh)
     rot = rotate_fn(center, position, up)
-    lookat = T.matmul(T.looka_at_translate(position), rot)
     proj_fn = T.perspectives[subsystem][projection_type][system]
     projection = proj_fn(fovy, aspect, near, far)
-    mvp = T.matmul(lookat, projection)
+    if host:
+        rot = np.asarray(rot)
+        projection = np.asarray(projection)
+        lookat = np.asarray(T.looka_at_translate(position)) @ rot
+        mvp = lookat @ projection
+        planes = np.asarray(extract_frustum_planes_host(mvp))
+    else:
+        lookat = T.matmul(T.looka_at_translate(position), rot)
+        mvp = T.matmul(lookat, projection)
+        planes = extract_frustum_planes(mvp)
     viewport = T.ViewPort(resolution, far, near, x_offset=x_offset,
                           y_offset=y_offset)
+    if host:
+        viewport = np.asarray(viewport)
     return {
         "lookat": lookat,
         "projection": projection,
         "MVP": mvp,
         "viewport": viewport,
-        "frustum_planes": extract_frustum_planes(mvp),
+        "frustum_planes": planes,
     }
 
 
@@ -85,7 +104,10 @@ class _TransformMixin:
         self.up = np.asarray(up, dtype=np.float32)
         self.projection_type = projection_type
         # ORTHOGRAPHIC forces near = |position| (reference core.py:387).
-        self.near = (float(np.linalg.norm(self.position))
+        # Norm in f64: the reference computes it on an f64 position; an
+        # f32 norm shifts every ortho depth by ~1e-7 relative.
+        self.near = (float(np.linalg.norm(
+                         np.asarray(self.position, np.float64)))
                      if projection_type == PROJECTION_TYPE.ORTHOGRAPHIC
                      else near)
         self.far = far
@@ -94,6 +116,9 @@ class _TransformMixin:
         self.y_offset = y_offset
 
     def _matrices(self):
+        # Host-facing (overlays, properties, tests): numpy composition.
+        # The device pipeline builds its own matrices (pipeline._cam_matrices
+        # -> camera_matrices(host=False)) inside jit.
         scene = self.scene
         if scene is None:
             raise RuntimeError("object is not bound to a Scene")
@@ -101,7 +126,7 @@ class _TransformMixin:
             self.position, self.center, self.up, self.fovy, self.near, self.far,
             projection_type=self.projection_type, system=scene.system,
             subsystem=scene.subsystem, resolution=scene.resolution,
-            x_offset=self.x_offset, y_offset=self.y_offset)
+            x_offset=self.x_offset, y_offset=self.y_offset, host=True)
 
     @property
     def projection(self):

@@ -555,10 +555,16 @@ class Scene:
             frame_f32, zbuf, tid, stencil = render_core_jit(cfg, dyn)
             frame = np.asarray(frame_f32).astype(np.float64)
             zb = np.asarray(zbuf).astype(np.float64)
-            cam_m = {k: np.asarray(v) for k, v in
-                     self.camera._matrices().items()}
-            dbg_m = {k: np.asarray(v) for k, v in
-                     self.debug_camera._matrices().items()}
+            # Overlay matrices in f64 (x64 scope; ops.transforms._flt): the
+            # frustum-cube corners sit exactly ON the clip planes whenever
+            # debug camera == main camera, so the overlay's clip decisions
+            # must follow the reference's f64 numpy arithmetic.
+            import jax
+            with jax.enable_x64(True):
+                cam_m = {k: np.asarray(v) for k, v in
+                         self.camera._matrices().items()}
+                dbg_m = {k: np.asarray(v) for k, v in
+                         self.debug_camera._matrices().items()}
             draw_view_frustum(frame, cam_m, dbg_m, self.camera.position,
                               self.camera.near, self.camera.far,
                               self.resolution, zb, self.system)

@@ -56,6 +56,26 @@ def extract_frustum_planes(matrix):
     return planes / jnp.linalg.norm(planes, axis=-1, keepdims=True)
 
 
+def extract_frustum_planes_host(matrix):
+    """Numpy twin of :func:`extract_frustum_planes` for the host overlay
+    path: with an f64 MVP composed by numpy, the planes come out
+    bit-identical to the reference's (plane_intersection.py:43-56), which
+    the overlay's sign-marginal clip decisions require."""
+    import numpy as np
+
+    m = np.asarray(matrix)
+    col = lambda i: m[..., i]
+    planes = np.stack([
+        col(3) + col(0),
+        col(3) - col(0),
+        col(3) + col(1),
+        col(3) - col(1),
+        col(3) + col(2),
+        col(3) - col(2),
+    ])
+    return planes / np.linalg.norm(planes, axis=-1, keepdims=True)
+
+
 def line_plane_intersection(p1, p2, plane):
     """Intersection of segment ``p1 -> p2`` with a plane.
 
@@ -156,20 +176,42 @@ def clip_polygon(verts, count, planes):
 
 
 def clipping(polygon_vertices, clipping_planes):
-    """Reference-compatible wrapper (plane_intersection.py:59-86).
+    """Reference-compatible host clipper (plane_intersection.py:59-86).
 
-    Takes an (N, 4) polygon, returns the clipped (M, 4) polygon as a *host*
-    numpy-style array (M dynamic). Useful outside jit (debug overlays, tests).
+    Takes an (N, 4) polygon, returns the clipped (M, 4) polygon (M dynamic).
+    Useful outside jit (debug overlays, tests).
+
+    Runs Sutherland–Hodgman in float64 numpy, keeping the reference's exact
+    decision arithmetic: visibility is ``plane @ point >= 0``, a crossing
+    edge intersects from *next* towards *current* vertex
+    (plane_intersection.py:81), segments parallel to the plane
+    (|denominator| < 1e-10) or with weight outside [0, 1] contribute no
+    vertex. f64 matters: the debug-overlay frustum corners can lie exactly
+    on the clip planes (debug camera == main camera), where an f32 clip
+    flips whole dashed segments relative to the reference.
     """
     import numpy as np
 
-    poly = np.asarray(polygon_vertices, dtype=np.float64)
-    n = len(poly)
-    padded = np.zeros((P_MAX, 4), np.float32)
-    padded[:n] = poly
-    verts, count = clip_polygon(padded, n, np.asarray(clipping_planes))
-    count = int(count)
-    return np.asarray(verts)[:count]
+    poly = [np.asarray(v, np.float64) for v in polygon_vertices]
+    for plane in np.asarray(clipping_planes, np.float64):
+        kept = []
+        n = len(poly)
+        for i in range(n):
+            cur = poly[i]
+            nxt = poly[(i + 1) % n]
+            cur_in = plane @ cur >= 0
+            nxt_in = plane @ nxt >= 0
+            if cur_in:
+                kept.append(cur)
+            if cur_in != nxt_in:
+                d = cur - nxt
+                denom = plane @ d
+                if abs(denom) >= 1e-10:
+                    w = -(plane @ nxt) / denom
+                    if 0 <= w <= 1:
+                        kept.append(nxt + w * d)
+        poly = kept
+    return np.array(poly)
 
 
 def get_parameterized(planes):

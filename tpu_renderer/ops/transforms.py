@@ -41,7 +41,15 @@ __all__ = [
     "perspectives", "SYSTEM", "SUBSYSTEM",
 ]
 
-_f32 = jnp.float32
+def _flt():
+    """Matrix dtype, resolved at call time: float32 normally, float64 inside
+    a ``jax.enable_x64(True)`` scope. The device pipeline always runs f32;
+    the host-side debug-overlay path (Scene.render) computes camera matrices
+    under x64 because its clip decisions are sign-marginal by construction
+    (the frustum-cube corners of a debug camera equal to the main camera lie
+    exactly ON the clip planes) and must follow the reference's f64 numpy
+    arithmetic (frustums.py:46-103)."""
+    return jnp.result_type(float)
 
 
 def matmul(a, b):
@@ -76,10 +84,10 @@ def barycentric(a, b, c, p):
 
     a, b, c: (2,) points.  p: (N, 2) points.  Returns ((N, 3), bool).
     """
-    a = jnp.asarray(a, _f32)
-    b = jnp.asarray(b, _f32)
-    c = jnp.asarray(c, _f32)
-    p = jnp.asarray(p, _f32)
+    a = jnp.asarray(a, _flt())
+    b = jnp.asarray(b, _flt())
+    c = jnp.asarray(c, _flt())
+    p = jnp.asarray(p, _flt())
     v0 = b - a
     v1 = c - a
     v2 = p - a
@@ -104,8 +112,8 @@ def barycentric_batch(tri_xy, p):
     computation instead of the reference's per-face Python call
     (triangular.py:74).
     """
-    tri_xy = jnp.asarray(tri_xy, _f32)
-    p = jnp.asarray(p, _f32)
+    tri_xy = jnp.asarray(tri_xy, _flt())
+    p = jnp.asarray(p, _flt())
     a = tri_xy[..., 0, :]
     b = tri_xy[..., 1, :]
     c = tri_xy[..., 2, :]
@@ -161,9 +169,9 @@ def bound_box_batch(tri_xy, height, width):
 
 def scale(factor):
     """Uniform scale matrix (reference transformation.py:207-216)."""
-    f = jnp.asarray(factor, _f32)
-    one = jnp.ones((), _f32)
-    zero = jnp.zeros((), _f32)
+    f = jnp.asarray(factor, _flt())
+    one = jnp.ones((), _flt())
+    zero = jnp.zeros((), _flt())
     return jnp.stack([
         jnp.stack([f, zero, zero, zero]),
         jnp.stack([zero, f, zero, zero]),
@@ -174,8 +182,8 @@ def scale(factor):
 
 def translation(vec):
     """Translation matrix, transposed for row vectors (transformation.py:219-227)."""
-    vec = jnp.asarray(vec, _f32)
-    m = jnp.eye(4, dtype=_f32)
+    vec = jnp.asarray(vec, _flt())
+    m = jnp.eye(4, dtype=_flt())
     return m.at[3, :3].set(vec)
 
 
@@ -186,10 +194,10 @@ def rotate_xyz(a):
     labelled ``rotate_x`` uses the *y* angle and ``rotate_y`` the *x* angle —
     user-visible semantics of the ``rotate_xyz`` API.
     """
-    a = jnp.deg2rad(jnp.asarray(a, _f32))
+    a = jnp.deg2rad(jnp.asarray(a, _flt()))
     x, y, z = a[0], a[1], a[2]
-    one = jnp.ones((), _f32)
-    zero = jnp.zeros((), _f32)
+    one = jnp.ones((), _flt())
+    zero = jnp.zeros((), _flt())
 
     rot_x = jnp.stack([
         jnp.stack([one, zero, zero, zero]),
@@ -230,8 +238,8 @@ def looka_at_translate(eye):
     The misspelled name is kept for API parity; ``look_at_translate`` is the
     sane alias.
     """
-    eye = jnp.asarray(eye, _f32)
-    m = jnp.eye(4, dtype=_f32)
+    eye = jnp.asarray(eye, _flt())
+    m = jnp.eye(4, dtype=_flt())
     return m.at[3, :3].set(-eye)
 
 
@@ -239,10 +247,10 @@ look_at_translate = looka_at_translate
 
 
 def _look_at_rotate(eye, center, up, forward_sign):
-    forward = normalize(jnp.asarray(center, _f32) - jnp.asarray(eye, _f32)).ravel()
-    right = normalize(jnp.cross(jnp.asarray(up, _f32), forward)).ravel()
+    forward = normalize(jnp.asarray(center, _flt()) - jnp.asarray(eye, _flt())).ravel()
+    right = normalize(jnp.cross(jnp.asarray(up, _flt()), forward)).ravel()
     new_up = jnp.cross(forward, right)
-    rot = jnp.eye(4, dtype=_f32)
+    rot = jnp.eye(4, dtype=_flt())
     return rot.at[:3, :3].set(
         jnp.column_stack((right, new_up, forward_sign * forward)))
 
@@ -259,7 +267,7 @@ def look_at_rotate_rh(eye, center, up):
 
 def lookAtLH(eye, center, up=(0, 1, 0)):
     """Monolithic LH view matrix (reference transformation.py:52-74)."""
-    eye = jnp.asarray(eye, _f32)
+    eye = jnp.asarray(eye, _flt())
     rot = look_at_rotate_lh(eye, center, up)
     m = rot.at[3, :3].set(matmul(-eye, rot[:3, :3]))
     return m
@@ -271,7 +279,7 @@ def lookAtRH(eye, center, up=(0, 1, 0)):
     Note: replicates the reference's ``eye @ rot`` translation (no negation),
     matching its commented-out final form.
     """
-    eye = jnp.asarray(eye, _f32)
+    eye = jnp.asarray(eye, _flt())
     rot = look_at_rotate_rh(eye, center, up)
     m = rot.at[3, :3].set(matmul(eye, rot[:3, :3]))
     return m
@@ -282,17 +290,17 @@ def FPSViewRH(eye, pitch, yaw):
 
     pitch in [-90, 90] degrees, yaw in [0, 360) degrees.
     """
-    eye = jnp.asarray(eye, _f32)
-    pitch = jnp.deg2rad(jnp.asarray(pitch, _f32))
-    yaw = jnp.deg2rad(jnp.asarray(yaw, _f32))
+    eye = jnp.asarray(eye, _flt())
+    pitch = jnp.deg2rad(jnp.asarray(pitch, _flt()))
+    yaw = jnp.deg2rad(jnp.asarray(yaw, _flt()))
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
     cy, sy = jnp.cos(yaw), jnp.sin(yaw)
-    xaxis = jnp.stack([cy, jnp.zeros((), _f32), -sy])
+    xaxis = jnp.stack([cy, jnp.zeros((), _flt()), -sy])
     yaxis = jnp.stack([sy * sp, cp, cy * sp])
     zaxis = jnp.stack([sy * cp, -sp, cp * cy])
     rot = jnp.stack([xaxis, yaxis, zaxis], axis=1)          # rows: x/y/z of axes
     bottom = jnp.stack([-(xaxis @ eye), -(yaxis @ eye), -(zaxis @ eye)])
-    m = jnp.eye(4, dtype=_f32).at[:3, :3].set(rot)
+    m = jnp.eye(4, dtype=_flt()).at[:3, :3].set(rot)
     return m.at[3, :3].set(bottom)
 
 
@@ -306,11 +314,11 @@ def ViewPort(resolution, far, near, x_offset=0, y_offset=0):
     ``resolution`` is (height, width) like the reference.
     """
     height, width = resolution
-    height = jnp.asarray(height, _f32)
-    width = jnp.asarray(width, _f32)
-    depth = jnp.asarray(far, _f32) - jnp.asarray(near, _f32)
-    zero = jnp.zeros((), _f32)
-    one = jnp.ones((), _f32)
+    height = jnp.asarray(height, _flt())
+    width = jnp.asarray(width, _flt())
+    depth = jnp.asarray(far, _flt()) - jnp.asarray(near, _flt())
+    zero = jnp.zeros((), _flt())
+    one = jnp.ones((), _flt())
     hw, hh, hd = width / 2, height / 2, depth / 2
     return jnp.stack([
         jnp.stack([hw, zero, zero, zero]),
@@ -322,13 +330,13 @@ def ViewPort(resolution, far, near, x_offset=0, y_offset=0):
 
 def opengl_orthographicLH(fov, aspect_ratio, z_near, z_far):
     """OpenGL LH orthographic projection (transformation.py:139-154)."""
-    z_near = jnp.asarray(z_near, _f32)
-    z_far = jnp.asarray(z_far, _f32)
-    half_fov_rad = jnp.radians(jnp.asarray(fov, _f32) / 2.0)
+    z_near = jnp.asarray(z_near, _flt())
+    z_far = jnp.asarray(z_far, _flt())
+    half_fov_rad = jnp.radians(jnp.asarray(fov, _flt()) / 2.0)
     half_height = jnp.tan(half_fov_rad) * z_near
     half_width = half_height * aspect_ratio
-    zero = jnp.zeros((), _f32)
-    one = jnp.ones((), _f32)
+    zero = jnp.zeros((), _flt())
+    one = jnp.ones((), _flt())
     return jnp.stack([
         jnp.stack([1.0 / half_width, zero, zero, zero]),
         jnp.stack([zero, 1.0 / half_height, zero, zero]),
@@ -338,58 +346,58 @@ def opengl_orthographicLH(fov, aspect_ratio, z_near, z_far):
 
 
 def _perspective(fovy, aspect, m22, m32, m23):
-    f = 1.0 / jnp.tan(jnp.radians(jnp.asarray(fovy, _f32)) / 2.0)
-    zero = jnp.zeros((), _f32)
+    f = 1.0 / jnp.tan(jnp.radians(jnp.asarray(fovy, _flt())) / 2.0)
+    zero = jnp.zeros((), _flt())
     return jnp.stack([
         jnp.stack([f / aspect, zero, zero, zero]),
         jnp.stack([zero, f, zero, zero]),
-        jnp.stack([zero, zero, jnp.asarray(m22, _f32), jnp.asarray(m23, _f32)]),
-        jnp.stack([zero, zero, jnp.asarray(m32, _f32), zero]),
+        jnp.stack([zero, zero, jnp.asarray(m22, _flt()), jnp.asarray(m23, _flt())]),
+        jnp.stack([zero, zero, jnp.asarray(m32, _flt()), zero]),
     ])
 
 
 def opengl_perspectiveLH(fovy, aspect, z_near, z_far):
     """OpenGL LH perspective (transformation.py:157-165)."""
-    n = jnp.asarray(z_near, _f32)
-    f = jnp.asarray(z_far, _f32)
+    n = jnp.asarray(z_near, _flt())
+    f = jnp.asarray(z_far, _flt())
     return _perspective(fovy, aspect, -(f + n) / (f - n), 2.0 * f * n / (f - n), 1.0)
 
 
 def opengl_perspectiveRH(fovy, aspect, z_near, z_far):
     """OpenGL RH perspective (transformation.py:168-176)."""
-    n = jnp.asarray(z_near, _f32)
-    f = jnp.asarray(z_far, _f32)
+    n = jnp.asarray(z_near, _flt())
+    f = jnp.asarray(z_far, _flt())
     return _perspective(fovy, aspect, -(f + n) / (f - n), -2.0 * f * n / (f - n), -1.0)
 
 
 def directx_perspectiveRH(fovy, aspect, z_near, z_far):
     """DirectX RH perspective (transformation.py:179-190)."""
-    n = jnp.asarray(z_near, _f32)
-    f = jnp.asarray(z_far, _f32)
+    n = jnp.asarray(z_near, _flt())
+    f = jnp.asarray(z_far, _flt())
     return _perspective(fovy, aspect, f / (n - f), n * f / (n - f), -1.0)
 
 
 def directx_perspectiveLH(fovy, aspect, z_near, z_far):
     """DirectX LH perspective (transformation.py:193-204)."""
-    n = jnp.asarray(z_near, _f32)
-    f = jnp.asarray(z_far, _f32)
+    n = jnp.asarray(z_near, _flt())
+    f = jnp.asarray(z_far, _flt())
     return _perspective(fovy, aspect, -f / (f - n), n * f / (f - n), 1.0)
 
 
 def perspective_matrix_3point(d, aspect_ratio, fov_y, angles):
     """Three-point perspective (reference transformation.py:294-311)."""
-    f = 1.0 / jnp.tan(jnp.asarray(fov_y, _f32) / 2.0)
-    d0 = jnp.asarray(d[0], _f32)
-    d1 = jnp.asarray(d[1], _f32)
-    zero = jnp.zeros((), _f32)
-    one = jnp.ones((), _f32)
+    f = 1.0 / jnp.tan(jnp.asarray(fov_y, _flt()) / 2.0)
+    d0 = jnp.asarray(d[0], _flt())
+    d1 = jnp.asarray(d[1], _flt())
+    zero = jnp.zeros((), _flt())
+    one = jnp.ones((), _flt())
     persp = jnp.stack([
         jnp.stack([f / aspect_ratio, zero, zero, zero]),
         jnp.stack([zero, f, zero, zero]),
         jnp.stack([zero, zero, (d1 + d0) / (d1 - d0), -2 * d0 * d1 / (d1 - d0)]),
         jnp.stack([zero, zero, one, zero]),
     ])
-    a0 = jnp.asarray(angles[0], _f32)
+    a0 = jnp.asarray(angles[0], _flt())
     rot = jnp.stack([
         jnp.stack([jnp.cos(a0), -jnp.sin(a0), zero, zero]),
         jnp.stack([jnp.sin(a0), jnp.cos(a0), zero, zero]),
@@ -401,18 +409,18 @@ def perspective_matrix_3point(d, aspect_ratio, fov_y, angles):
 
 def perspective_matrix_2point(d, aspect_ratio, fov_y, eye_sep):
     """Two-point perspective (reference transformation.py:314-331)."""
-    f = 1.0 / jnp.tan(jnp.asarray(fov_y, _f32) / 2.0)
-    d0 = jnp.asarray(d[0], _f32)
-    d1 = jnp.asarray(d[1], _f32)
-    zero = jnp.zeros((), _f32)
-    one = jnp.ones((), _f32)
+    f = 1.0 / jnp.tan(jnp.asarray(fov_y, _flt()) / 2.0)
+    d0 = jnp.asarray(d[0], _flt())
+    d1 = jnp.asarray(d[1], _flt())
+    zero = jnp.zeros((), _flt())
+    one = jnp.ones((), _flt())
     persp = jnp.stack([
         jnp.stack([f / aspect_ratio, zero, zero, zero]),
         jnp.stack([zero, f, zero, zero]),
         jnp.stack([zero, zero, (d1 + d0) / (d1 - d0), -2 * d0 * d1 / (d1 - d0)]),
         jnp.stack([zero, zero, one, zero]),
     ])
-    trans = jnp.eye(4, dtype=_f32).at[0, 2].set(-jnp.asarray(eye_sep, _f32) / 2)
+    trans = jnp.eye(4, dtype=_flt()).at[0, 2].set(-jnp.asarray(eye_sep, _flt()) / 2)
     return matmul(trans, persp)
 
 
