@@ -60,9 +60,14 @@ def main():
             outs = []
             for _ in range(REPS):
                 # aff reaches fdata (valid does not — bins are precomputed),
-                # so this both defeats CSE and serializes the reps.
+                # so this both defeats CSE and serializes the reps. abs()
+                # first: tid[0, 0] is the BACKGROUND (-1), and -1 >> 30 is
+                # -1 — the round-2 version shifted every affine coefficient
+                # by -1.0 in reps 2+, collapsing coverage and silently
+                # skipping the interp/sampling phases (measured: corrupted
+                # reps 3.7 ms vs true 6.0 ms per call).
                 fc = dict(faces, aff=faces["aff"]
-                          + (acc >> 30).astype(jnp.float32))
+                          + (jnp.abs(acc) >> 30).astype(jnp.float32))
                 o = rp.visibility_gbuffer_pallas(
                     fc, attrs, H, W, sign, bins=bins, with_tex_tables=False,
                     windows=windows, n_kinds=n_kinds, mode=mode)
