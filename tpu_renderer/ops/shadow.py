@@ -196,6 +196,12 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
     zraw = zx * cols + zy * rows + zd
     nf2 = 2.0 * near * far
     qden = (far + near) - zraw * (far - near)
+    # Divide-free z test: zb >= sign*nf2/qden rewritten multiply-side.
+    # Corner (accepted): when qden < 0 the >= boundary flips to >, and the
+    # multiply rounds ~1 ulp differently from the reference's divide — only
+    # exact-equality boundary pixels can differ, within golden tolerance.
+    # Pallas stencil_pallas uses the identical expression, so the two
+    # backends stay bit-identical regardless.
     pass_z = (((zb_sign * qden - sign * nf2 >= 0) == (qden > 0))
               & (zb_sign < 3e38))
 
