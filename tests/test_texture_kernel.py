@@ -29,6 +29,35 @@ def _compare(scene, expect_kinds):
     assert f_on.max() > 0
 
 
+def test_mismatched_shape_groups():
+    """kd+ks share one shape, the normal map differs: two window grids.
+
+    The second shape-group must sample in-kernel too (ModelConfig.win2,
+    raster_pallas group-2 pass: synchronous window DMA, per-kind write
+    gating) and stay bit-compatible with the XLA gather path.
+    """
+    cube = tr.Model.load_model(f"{BASE}/obj_loader_test/cube.obj")
+    rng = np.random.default_rng(0)
+    kd = rng.random((32, 256, 3)).astype(np.float32)
+    ks = rng.random((32, 256, 3)).astype(np.float32)
+    nm = (rng.random((16, 128, 3)).astype(np.float32) * 2 - 1)
+    dt = np.dtype(np.float32, metadata={"tangent": False})
+    for m in cube.materials.values():
+        m.map_Kd = np.asarray(kd, dtype=dt)
+        m.map_Ks = np.asarray(ks, dtype=dt)
+        m.norm = np.asarray(nm, dtype=dt)
+    cube.normal_map_is_tangent = False
+    cube.bump_version()
+    cam = tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60, near=0.01, far=50)
+    s = tr.Scene(cam, tr.Light((3, 4, 2), ambient_strength=0.2),
+                 resolution=(192, 192), system=tr.SYSTEM.LH,
+                 subsystem=tr.SUBSYSTEM.OPENGL, backend="pallas")
+    s.add_model(cube)
+    cfg, _ = s._prepare()
+    assert cfg.models[0].win2, "second shape-group grid not built"
+    _compare(s, [("kd", "ks", "norm")])
+
+
 def test_cube_kd_ks_windows():
     """Cube with same-shape diffuse + specular maps -> shared windows."""
     cube = tr.Model.load_model(f"{BASE}/obj_loader_test/cube.obj")

@@ -161,10 +161,12 @@ def _window_metadata(uv, shapes, slot_list):
 def _build_window_content(stacks_slots, w_face, w_r0, w_c0, shapes):
     """Slice each window's texels out of the (device) texture stacks.
 
-    ``stacks_slots``: per kind, (stack (N, TH, TW) uint32, slot (F,) int32).
-    Content rows [16k, 16(k+1)) hold kind k; origins wrap modulo the face's
-    texture shape, with wrap-straddle handled by a (TH+16, TW+128) wrap-pad.
-    Returns (W, 16·K, 128) int32 on device.
+    ``stacks_slots``: per UNION kind, (stack (N, TH, TW) uint32, slot (F,)
+    int32), or None for kinds outside this grid's group (their 16-row plane
+    is zeros — never read: the mask plane only carries bits this grid's
+    kmask sets). Content rows [16k, 16(k+1)) hold union kind k; origins
+    wrap modulo the face's texture shape, with wrap-straddle handled by a
+    (TH+16, TW+128) wrap-pad. Returns (W, 16·K, 128) int32 on device.
     """
     import jax
 
@@ -175,7 +177,11 @@ def _build_window_content(stacks_slots, w_face, w_r0, w_c0, shapes):
 
     padded = []
     slots = []
-    for stack, slot in stacks_slots:
+    for entry in stacks_slots:
+        if entry is None:
+            padded.append(None)
+            continue
+        stack, slot = entry
         p = jnp.pad(jnp.asarray(stack).astype(jnp.int32),
                     ((0, 0), (0, _WIN_R), (0, _WIN_C)), mode="wrap")
         padded.append(p)
@@ -183,8 +189,14 @@ def _build_window_content(stacks_slots, w_face, w_r0, w_c0, shapes):
 
     def one(args):
         r, c, *ss = args
-        parts = [jax.lax.dynamic_slice(p, (s, r, c), (1, _WIN_R, _WIN_C))[0]
-                 for p, s in zip(padded, ss)]
+        ss = list(ss)
+        parts = []
+        for p in padded:
+            if p is None:
+                parts.append(jnp.zeros((_WIN_R, _WIN_C), jnp.int32))
+            else:
+                parts.append(jax.lax.dynamic_slice(
+                    p, (ss.pop(0), r, c), (1, _WIN_R, _WIN_C))[0])
         return jnp.concatenate(parts, axis=0)
 
     # Sequential scan: vmap would lower the slices to a (5x/element) XLA
@@ -356,8 +368,14 @@ class Scene:
             packet["norm_tangent"] = jnp.zeros(Fp, bool)
 
         # ---- texel windows for the in-kernel sampler: group kinds sharing
-        # one per-face shape table (one texel-coordinate set per face).
+        # one per-face shape table (one texel-coordinate set per grid). Up
+        # to TWO grids per model: the largest group drives the speculative
+        # window path; a second group (e.g. a normal map sized differently
+        # from the diffuse map) samples through a second per-face grid with
+        # synchronous window DMA in the kernel. Kind/plane indices are
+        # positions in the UNION tuple (group 1 kinds first).
         win_kinds: tuple = ()
+        win2 = False
         num_windows = 0
         if model.uv is not None and F > 0:
             present = [k for k in ("kd", "norm", "ks")
@@ -373,32 +391,59 @@ class Scene:
                         break
                 if not placed:
                     groups.append([k])
-            group = max(groups, key=len) if groups else []
-            if group:
-                shapes = st_by_kind[group[0]][2][mtl]  # (F, 2) float
+
+            def _grp_ok(g):
                 # v1 sampler needs at least one full window inside the map.
-                if shapes[:, 0].min() >= _WIN_R and shapes[:, 1].min() >= _WIN_C:
-                    meta = _window_metadata(
-                        uv[:F], shapes,
-                        [st_by_kind[k][1][mtl] for k in group])
-                    if meta is not None:
-                        win_kinds = tuple(group)
-                        num_windows = len(meta["w_face"])
-                        for name in ("wbase", "nwr", "nwc", "rbase",
-                                     "cbase", "kmask"):
-                            packet[f"win_{name}"] = jnp.asarray(
-                                _pad_rows(meta[name], Fp))
-                        packet["win_thw"] = jnp.asarray(
-                            _pad_rows(shapes.astype(np.int32), Fp))
-                        packet["windows"] = _build_window_content(
-                            [(st_by_kind[k][0], st_by_kind[k][1][mtl])
-                             for k in group],
-                            meta["w_face"], meta["w_r0"], meta["w_c0"],
-                            shapes)
+                shp = st_by_kind[g[0]][2][mtl]
+                return (shp[:, 0].min() >= _WIN_R
+                        and shp[:, 1].min() >= _WIN_C)
+
+            groups = [g for g in sorted(groups, key=len, reverse=True)
+                      if _grp_ok(g)][:2]
+            # Metadata first (a group none of the faces sample drops out),
+            # THEN the union fixes plane/bit positions for both grids.
+            metas = []
+            for group in groups:
+                shapes = st_by_kind[group[0]][2][mtl]  # (F, 2) float
+                meta = _window_metadata(
+                    uv[:F], shapes,
+                    [st_by_kind[k][1][mtl] for k in group])
+                if meta is not None:
+                    metas.append((group, shapes, meta))
+            union = [k for g, _, _ in metas for k in g]
+            parts = []
+            for gi, (group, shapes, meta) in enumerate(metas):
+                pre = "win_" if gi == 0 else "win2_"
+                bit0 = len(metas[0][0]) if gi else 0
+                for name in ("nwr", "nwc", "rbase", "cbase"):
+                    packet[f"{pre}{name}"] = jnp.asarray(
+                        _pad_rows(meta[name], Fp))
+                packet[f"{pre}kmask"] = jnp.asarray(
+                    _pad_rows(meta["kmask"] << bit0, Fp))
+                packet[f"{pre}wbase"] = jnp.asarray(
+                    _pad_rows(meta["wbase"] + num_windows, Fp))
+                packet[f"{pre}thw"] = jnp.asarray(
+                    _pad_rows(shapes.astype(np.int32), Fp))
+                parts.append(_build_window_content(
+                    [(st_by_kind[k][0], st_by_kind[k][1][mtl])
+                     if k in group else None for k in union],
+                    meta["w_face"], meta["w_r0"], meta["w_c0"], shapes))
+                num_windows += len(meta["w_face"])
+                if gi == 0:
+                    win_kinds = tuple(union)
+                else:
+                    win2 = True
+            if parts:
+                packet["windows"] = (parts[0] if len(parts) == 1
+                                     else jnp.concatenate(parts, axis=0))
         if not win_kinds:
             for name in ("wbase", "nwr", "nwc", "rbase", "cbase", "kmask"):
                 packet[f"win_{name}"] = jnp.zeros(Fp, jnp.int32)
             packet["win_thw"] = jnp.ones((Fp, 2), jnp.int32)
+        if not win2:
+            for name in ("wbase", "nwr", "nwc", "rbase", "cbase", "kmask"):
+                packet[f"win2_{name}"] = jnp.zeros(Fp, jnp.int32)
+            packet["win2_thw"] = jnp.ones((Fp, 2), jnp.int32)
 
         packet["_config"] = ModelConfig(
             num_faces=Fp, clip=model.clip, depth_test=model.depth_test,
@@ -406,7 +451,7 @@ class Scene:
             has_uv=model.uv is not None, has_map_kd=flags["kd"],
             has_map_ks=flags["ks"], has_norm=flags["norm"],
             num_edges=et.num_edges, win_kinds=win_kinds,
-            num_windows=num_windows,
+            num_windows=num_windows, win2=win2,
         )
         self._packets[key] = packet
         return packet

@@ -59,9 +59,14 @@ class ModelConfig:
     num_edges: int = 0             # padded silhouette-edge count
     #: Texture kinds ('kd' | 'norm' | 'ks') sampled by the in-kernel
     #: windowed sampler (raster_pallas.sample_textures_pallas); kind k reads
-    #: sampled plane k. Empty = XLA gather path only.
+    #: sampled plane k. Union of both shape groups, group 1 first.
+    #: Empty = XLA gather path only.
     win_kinds: Tuple[str, ...] = ()
     num_windows: int = 0           # rows of this model's window-content table
+    #: A second window grid exists (kinds whose texture shape differs from
+    #: group 1's, e.g. a normal map sized unlike the diffuse map); the
+    #: kernels compile the group-2 sampling pass + per-kind write gating.
+    win2: bool = False
 
 
 @dataclass(frozen=True)
@@ -141,7 +146,9 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
             raster["clip_dbg"] = clip_dbg
 
         # Windowed-sampler metadata (raster_pallas.sample_textures_pallas):
-        # window ids are global across models, like gids.
+        # window ids are global across models, like gids. The optional
+        # second shape-group grid (scene.py) shares the global id space —
+        # its block sits right after group 1's inside the model's region.
         raster["wbase"] = md["win_wbase"] + win_offset
         raster["wnwr"] = md["win_nwr"]
         raster["wnwc"] = md["win_nwc"]
@@ -149,6 +156,13 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
         raster["wcbase"] = md["win_cbase"]
         raster["wkmask"] = md["win_kmask"]
         raster["wthw"] = md["win_thw"]
+        raster["wbase2"] = md["win2_wbase"] + win_offset
+        raster["wnwr2"] = md["win2_nwr"]
+        raster["wnwc2"] = md["win2_nwc"]
+        raster["wrbase2"] = md["win2_rbase"]
+        raster["wcbase2"] = md["win2_cbase"]
+        raster["wkmask2"] = md["win2_kmask"]
+        raster["wthw2"] = md["win2_thw"]
         win_offset += mc.num_windows
 
         attrs = {
@@ -619,7 +633,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
             bins=bins[:2], with_tex_tables=needs_tables,
             windows=windows, n_kinds=n_kinds if windows is not None else 0,
-            row0=row0)
+            row0=row0, two_groups=any(mc.win2 for mc in cfg.models))
         if sampler_on:
             zb_sign, tid, gbuffer, samp, samp_mask = outs
         else:
@@ -673,7 +687,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                     samp, samp_mask = sample_textures_pallas(
                         faces, bins[:2], windows, tid, gbuffer[GB_IU],
                         gbuffer[GB_IV], local_height, width, n_kinds,
-                        interpret=cfg.pallas_interpret)
+                        interpret=cfg.pallas_interpret,
+                        two_groups=any(mc.win2 for mc in cfg.models))
                     if axis_tris:
                         samp = jax.lax.psum(samp, axis_tris)
                         samp_mask = jax.lax.psum(samp_mask, axis_tris)

@@ -544,6 +544,17 @@ _Q_COLS = 128
 # Quad int payload: [0:4] bbox, [4] count, [5] ok, [6] is_front.
 _QI_COLS = 8
 
+#: Stencil-kernel tile height, decoupled from the face kernels' TILE_H.
+#: Shadow quads are long slivers: smaller tiles make the corner-max and
+#: z-occlusion prunes finer (fewer false visits) and shrink each visit's
+#: full-tile vector work, at the cost of more tiles/visits. MEASURED
+#: (round 3, tools/exp_shadowprep.py, flagship 1024²): 64 -> 32 rows makes
+#: the kernel 0.398 -> 0.570 ms/instance (2.39 -> 3.42 ms/call) — the
+#: extra visits' fixed cost (bin-entry read, fori, scalar decode) swamps
+#: the halved vector width, same lesson as _FSLAB=8. Keep TILE_H; the
+#: STEN_TH env override stays as the A/B knob.
+_STEN_TH = int(__import__("os").environ.get("STEN_TH", TILE_H))
+
 
 def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
                near=None, far=None, row0=0):
@@ -577,7 +588,7 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     vector work without adding branches, or cut visit count.
     """
     e, _ = qdata.shape
-    n_ty = _cdiv(height, TILE_H)
+    n_ty = _cdiv(height, _STEN_TH)
     n_tx = _cdiv(width, TILE_W)
     # Edge half-plane coefficients precomputed by pack_quads (inactive slots
     # encode an always-true (0, 0, 1) test, so no active mask is needed:
@@ -586,11 +597,11 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     B = qdata[:, 12:24]
     K = qdata[:, 24:36]
 
-    ty0 = (jnp.arange(n_ty, dtype=jnp.float32) * TILE_H) + row0
+    ty0 = (jnp.arange(n_ty, dtype=jnp.float32) * _STEN_TH) + row0
     tx0 = (jnp.arange(n_tx, dtype=jnp.float32) * TILE_W)
     # corner_max[t, e, i] over the tile rectangle, separably per axis.
     x_part = (tx0[:, None, None] * A + TILE_W * jnp.maximum(A, 0))  # (Tx,E,12)
-    y_part = (ty0[:, None, None] * B + TILE_H * jnp.maximum(B, 0))  # (Ty,E,12)
+    y_part = (ty0[:, None, None] * B + _STEN_TH * jnp.maximum(B, 0))  # (Ty,E,12)
     # min over edges of corner_max; > 0 everywhere means possibly covered.
     # Evaluate as (Ty, Tx, E) without materializing (T, E, 12):
     cm = (y_part[:, None] + x_part[None, :] + K[None, None])
@@ -602,8 +613,8 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     tyi = jnp.arange(n_ty)
     ov_x = ((b0[None, :] < (txi[:, None] + 1) * TILE_W) &
             (b1[None, :] > txi[:, None] * TILE_W))
-    ov_y = ((b2[None, :] < row0 + (tyi[:, None] + 1) * TILE_H) &
-            (b3[None, :] > row0 + tyi[:, None] * TILE_H))
+    ov_y = ((b2[None, :] < row0 + (tyi[:, None] + 1) * _STEN_TH) &
+            (b3[None, :] > row0 + tyi[:, None] * _STEN_TH))
     overlap = (covered & ov_y[:, None, :] & ov_x[None, :, :] &
                (qi[:, 5] > 0)[None, None, :])
 
@@ -612,8 +623,8 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
         safe = jnp.ones(zx.shape, bool)
         x_lo = tx0[:, None] * zx + TILE_W * jnp.minimum(zx, 0)   # (Tx, E)
         x_hi = tx0[:, None] * zx + TILE_W * jnp.maximum(zx, 0)
-        y_lo = ty0[:, None] * zy + TILE_H * jnp.minimum(zy, 0)   # (Ty, E)
-        y_hi = ty0[:, None] * zy + TILE_H * jnp.maximum(zy, 0)
+        y_lo = ty0[:, None] * zy + _STEN_TH * jnp.minimum(zy, 0)   # (Ty, E)
+        y_hi = ty0[:, None] * zy + _STEN_TH * jnp.maximum(zy, 0)
         zr_lo = y_lo[:, None] + x_lo[None] + zd                  # (Ty, Tx, E)
         zr_hi = y_hi[:, None] + x_hi[None] + zd
         nf2 = 2.0 * near * far
@@ -715,9 +726,9 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     qi = _pad_rows_to(qi, chunk)
     e = qdata.shape[0]
     n_chunks = e // chunk
-    n_ty = _cdiv(height, TILE_H)
+    n_ty = _cdiv(height, _STEN_TH)
     n_tx = _cdiv(width, TILE_W)
-    zb_pad = jnp.full((n_ty * TILE_H, n_tx * TILE_W), jnp.inf, jnp.float32)
+    zb_pad = jnp.full((n_ty * _STEN_TH, n_tx * TILE_W), jnp.inf, jnp.float32)
     zb_pad = zb_pad.at[:height, :width].set(zbuf * sign)
     # Background pixels (z-buffer never written) are excluded from the Pallas
     # stencil: the frame never reads stencil there (background overrides in
@@ -726,7 +737,7 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     # tile contains some sky.
     finite = zb_pad < 3e38
     zmax_tiles = jnp.where(finite, zb_pad, -jnp.inf).reshape(
-        n_ty, TILE_H, n_tx, TILE_W).max(axis=(1, 3))
+        n_ty, _STEN_TH, n_tx, TILE_W).max(axis=(1, 3))
     counts, idx = [], []
     for c in range(n_chunks):
         sl = slice(c * chunk, (c + 1) * chunk)
@@ -749,23 +760,23 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         nf2 = zscal_ref[0]
         fpn = zscal_ref[1]
         fmn = zscal_ref[2]
-        y0 = (ty * TILE_H).astype(jnp.float32) + zscal_ref[3]
+        y0 = (ty * _STEN_TH).astype(jnp.float32) + zscal_ref[3]
         x0 = (tx * TILE_W).astype(jnp.float32)
         rows = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y0
+            jnp.int32, (_STEN_TH, TILE_W), 0).astype(jnp.float32) + y0
         cols = jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x0
+            jnp.int32, (_STEN_TH, TILE_W), 1).astype(jnp.float32) + x0
 
         @pl.when(c == 0)
         def _():
-            st_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+            st_ref[:] = jnp.zeros((_STEN_TH, TILE_W), jnp.int32)
 
         def body(k, _):
             e_ent = idx_ref[0, 0, k, 0]
             q = (e_ent >> _BIN_F) & _BIN_FMASK
             nverts = (e_ent >> 4) & 0xF
             front = (e_ent & 8) > 0
-            co = _face_row(qdata_ref, q, (TILE_H, TILE_W))
+            co = _face_row(qdata_ref, q, (_STEN_TH, TILE_W))
 
             def edge_test(inside, i):
                 # Precomputed half-plane (orientation folded in, inactive
@@ -778,7 +789,7 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             # is far cheaper than a full-tile edge evaluation). Branches
             # carry through an i32 scratch ref: Mosaic lowers pl.when on
             # ref mutations but not lax.cond with vector carries.
-            inside = jnp.ones((TILE_H, TILE_W), bool)
+            inside = jnp.ones((_STEN_TH, TILE_W), bool)
             for i in range(4):
                 inside = edge_test(inside, i)
             ins_ref[:] = inside.astype(jnp.int32)
@@ -828,22 +839,22 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, _Q_COLS), lambda ty, tx, c, cn, s: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
+            pl.BlockSpec((_STEN_TH, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
+            pl.BlockSpec((_STEN_TH, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TILE_H, TILE_W), jnp.int32),
+            pltpu.VMEM((_STEN_TH, TILE_W), jnp.int32),
         ],
     )
     (stencil,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct((n_ty * _STEN_TH, n_tx * TILE_W), jnp.int32),
         ],
         interpret=interpret,
     )(counts.reshape(-1), zscal, idx, qdata, zb_pad)
@@ -1036,11 +1047,12 @@ def _gb_interp_face(co, X, rows, cols, put, with_tex_tables):
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
                                    "interpret", "with_tex_tables", "n_kinds",
-                                   "mode", "gb_layout"))
+                                   "mode", "gb_layout", "two_groups"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                               with_debug=False, interpret=False, bins=None,
                               with_tex_tables=True, windows=None, n_kinds=0,
-                              mode="full", row0=0, gb_layout="general"):
+                              mode="full", row0=0, gb_layout="general",
+                              two_groups=False):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -1099,13 +1111,18 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         wrows = windows.shape[1]
         # Texture shape / window-grid origin as f32 fdata columns: their
         # uses are all vector math, so they arrive as VREG broadcasts.
+        # Cols X2+4.. hold the second shape-group's grid when present.
         X2 = fdata.shape[1]
+        xcols = [faces["wthw"][:, 0], faces["wthw"][:, 1],
+                 faces["wrbase"], faces["wcbase"]]
+        if two_groups:
+            word3 = _pad_rows_to(pack_sample_word2(faces, grid=2), chunk)
+            xcols += [faces["wthw2"][:, 0], faces["wthw2"][:, 1],
+                      faces["wrbase2"], faces["wcbase2"]]
         fdata = jnp.concatenate([
             fdata,
-            _pad_rows_to(jnp.stack(
-                [faces["wthw"][:, 0], faces["wthw"][:, 1],
-                 faces["wrbase"], faces["wcbase"]],
-                axis=1).astype(jnp.float32), chunk)], axis=1)
+            _pad_rows_to(jnp.stack(xcols, axis=1).astype(jnp.float32),
+                         chunk)], axis=1)
     fdata = _pad_cols_128(fdata)
 
     def kernel(counts_ref, idx_ref, fdata_ref, *rest):
@@ -1144,6 +1161,8 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                     win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
 
             w2base = n_chunks * n_ty * n_tx + 2 + c * chunk
+            # word3 (second grid) rides after the full word2 block.
+            w3base = w2base + n_chunks * chunk
 
             def prefetch(k, buf):
                 fp = (idx_ref[0, 0, k, 0] >> _BIN_F) & _BIN_FMASK
@@ -1177,7 +1196,9 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
         _dbg_p1 = mode != "zonly"
         _dbg_interp = mode not in ("zonly", "nogb")
-        _dbg_samp = mode in ("full",)
+        _dbg_samp = mode in ("full", "nosweep", "dmaonly")
+        _dbg_sweep = mode != "nosweep"    # window visits + DMA, no gathers
+        _dbg_visit = mode != "dmaonly"    # prefetch/wait DMAs, no visits
 
         @pl.when(phase & _dbg_p1)
         def _():
@@ -1222,7 +1243,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                             return
                         iu_val, iv_val = _gb_interp_face(
                             co, X, rows, cols_s, put, with_tex_tables)
-                        if sampling and _dbg_samp:
+                        if sampling and _dbg_samp and _dbg_visit:
                             @pl.when((w2 & 7) > 0)
                             def _():
                                 _sample_face_slab(
@@ -1235,7 +1256,33 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                                     co(X2 + 3).astype(jnp.int32),
                                     buf, s0, win, iu_val,
                                     iv_val, spec, sync, sem_sync, win_hbm,
-                                    samp_ref, mask_ref, n_kinds)
+                                    samp_ref, mask_ref, n_kinds,
+                                    sweep=_dbg_sweep, kind_gate=two_groups)
+                            if two_groups:
+                                # Second shape-group grid: synchronous
+                                # window DMA only (spec_n=0 — the
+                                # speculative buffer holds grid 1), its own
+                                # footprint columns, per-kind write gating.
+                                w3 = counts_ref[w3base + f]
+
+                                @pl.when((w3 & 7) > 0)
+                                def _():
+                                    _sample_face_slab(
+                                        sdata_ref, f, w3 >> _W2_WB,
+                                        (w3 >> _W2_WN) & 7,
+                                        (w3 >> _W2_NWC) & 7, w3 & 7,
+                                        co(X2 + 4).astype(jnp.int32),
+                                        co(X2 + 5).astype(jnp.int32),
+                                        co(X2 + 6).astype(jnp.int32),
+                                        co(X2 + 7).astype(jnp.int32),
+                                        buf, s0, win, iu_val,
+                                        iv_val, spec, sync, sem_sync,
+                                        win_hbm, samp_ref, mask_ref,
+                                        n_kinds, sweep=_dbg_sweep,
+                                        spec_n=0,
+                                        cols_fp=(_S2_NWR, _S2_NWC,
+                                                 _S2_RB, _S2_CB),
+                                        kind_gate=True)
                 _for_each_slab(s_base, n_slabs, slab)
                 return 0
 
@@ -1272,6 +1319,8 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             faces["gid"][0].reshape(1)]
     if sampling:
         tail.append(word2)
+        if two_groups:
+            tail.append(word3)
     counts1 = jnp.concatenate(tail)
     inputs = [counts1, idx, fdata]
     if sampling:
@@ -1327,19 +1376,95 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 # Per-face sampler scalars: [0] gid, [1] wbase (global window row), [2] nwr,
 # [3] nwc (window grid dims), [4] kind bitmask, [5] th, [6] tw (texture
 # shape), [7] rbase, [8] cbase (unwrapped texel origin of the window grid).
-_S_COLS = 16
+_S_COLS = 32
+
+
+#: Texel rows per window / per kind plane inside a window-content row block.
+WIN_R = 16
+WIN_C = 128
+
+#: Speculatively prefetched windows per face (covers ~p95 of diablo faces);
+#: ranges beyond SPEC fall back to synchronous per-window DMA.
+_SPEC = 4
+
+#: Pixel-slab height for per-visit sampler work — must EQUAL _FSLAB (the
+#: fused kernel hands _sample_face_slab winner masks of _FSLAB rows) and be
+#: a multiple of 8 for aligned dynamic sublane slices.
+_SLAB = _FSLAB
+_SLAB_SHIFT = _SLAB.bit_length() - 1
 
 
 def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
                       cbase, buf, s0, win, iu_s, iv_s, spec, sync,
                       sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
-                      sweep=True):
+                      sweep=True, spec_n=_SPEC, cols_fp=(2, 3, 7, 8),
+                      kind_gate=False):
     """Window visits + gather sweep for one face over one winning pixel slab.
+
+    Half-slab dispatch: a face's winners occupy ~1%% of a (16, 128) slab
+    (p50 bbox height 3 px), so when they all fall in one 8-row half the
+    sweep runs at (8, 128) — one VREG per op instead of two — selected by
+    two jnp.any reduces. Winners straddling the half boundary take the
+    full-slab body unchanged. Pure masking/width change: values are
+    bit-identical either way.
+
+    ``spec_n``/``cols_fp``/``kind_gate`` support the second shape-group
+    grid (see visibility_gbuffer_pallas): group 2 passes spec_n=0 (its
+    windows are never speculatively resident — every visit uses the
+    synchronous DMA), its own sdata footprint columns, and kind_gate=True
+    so each grid writes only its own kmask bits' planes.
+    """
+    extra = dict(sweep=sweep, spec_n=spec_n, cols_fp=cols_fp,
+                 kind_gate=kind_gate)
+    if _SLAB == 16:
+        lo = jnp.any(win[0:8, :])
+        hi = jnp.any(win[8:16, :])
+
+        def _half(x):
+            # th/tw/rbase/cbase arrive as scalars (standalone kernel) or
+            # (16, 128) broadcasts (fused kernel's co()): slice the latter.
+            # Bool vectors go through i32 — Mosaic can't legalize an
+            # arith.select on vector<8x128xi1> (CLAUDE.md pitfall).
+            if jnp.ndim(x) == 0:
+                return x
+            if x.dtype == jnp.bool_:
+                return jnp.where(hi, x[8:16, :].astype(jnp.int32),
+                                 x[0:8, :].astype(jnp.int32)) != 0
+            return jnp.where(hi, x[8:16, :], x[0:8, :])
+
+        @pl.when(lo & hi)
+        def _():
+            _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
+                         cbase, buf, s0, win, iu_s, iv_s, spec, sync,
+                         sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
+                         _SLAB, **extra)
+
+        @pl.when(lo != hi)
+        def _():
+            s0h = s0 + 8 * hi.astype(jnp.int32)
+            _sample_half(sdata_ref, f, wb, wn, nwc, kmask, _half(th),
+                         _half(tw), _half(rbase), _half(cbase), buf, s0h,
+                         _half(win), _half(iu_s), _half(iv_s), spec, sync,
+                         sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
+                         8, **extra)
+    else:
+        _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
+                     cbase, buf, s0, win, iu_s, iv_s, spec, sync,
+                     sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
+                     _SLAB, **extra)
+
+
+def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
+                 cbase, buf, s0, win, iu_s, iv_s, spec, sync,
+                 sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
+                 slab, sweep=True, spec_n=_SPEC, cols_fp=(2, 3, 7, 8),
+                 kind_gate=False):
+    """Window visits + gather sweep over a (slab, 128) winner block.
 
     Shared by the standalone sampler kernel and the fused
     visibility+G-buffer kernel (which samples right after interpolating
     iu/iv in-register). ``win`` is the winner mask for rows
-    [s0, s0+_SLAB); the face's speculative windows must already be resident
+    [s0, s0+slab); the face's speculative windows must already be resident
     in ``spec[buf]``.
 
     ``wb``/``wn``/``nwc``/``kmask`` are scalars (from the SMEM word2, wn and
@@ -1353,7 +1478,7 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     """
     thf = th.astype(jnp.float32)
     twf = tw.astype(jnp.float32)
-    wn_spec = jnp.minimum(wn, _SPEC)
+    wn_spec = jnp.minimum(wn, spec_n)
 
     # Single-period negative wrap (numpy fancy-indexing semantics): legal
     # reference UVs put the truncated index in (-dim, dim), where one
@@ -1373,8 +1498,8 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
 
         @pl.when(jnp.any(inwin))
         def _():
-            msl = mask_ref[pl.ds(s0, _SLAB), :]
-            mask_ref[pl.ds(s0, _SLAB), :] = jnp.where(
+            msl = mask_ref[pl.ds(s0, slab), :]
+            mask_ref[pl.ds(s0, slab), :] = jnp.where(
                 inwin, msl | kmask, msl)
             # NOTE: don't gate the row sweep with per-row pl.when on a
             # footprint range — measured 1.6x SLOWER in-frame (Mosaic
@@ -1385,7 +1510,7 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
             # unique), so unsampled planes are never read there.
             if not sweep:
                 return
-            accs = [samp_ref[k, pl.ds(s0, _SLAB), :]
+            accs = [samp_ref[k, pl.ds(s0, slab), :]
                     for k in range(n_kinds)]
             for rr in range(WIN_R):
                 sel = inwin & (rel_r == rr)
@@ -1393,11 +1518,19 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
                     g = jnp.take_along_axis(
                         jnp.broadcast_to(wv[WIN_R * k + rr:
                                            WIN_R * k + rr + 1, :],
-                                         (_SLAB, TILE_W)),
+                                         (slab, TILE_W)),
                         rel_c_s, axis=1)
                     accs[k] = jnp.where(sel, g, accs[k])
             for k in range(n_kinds):
-                samp_ref[k, pl.ds(s0, _SLAB), :] = accs[k]
+                if kind_gate:
+                    # Two grids per face: each writes only the planes its
+                    # kmask covers, else grid 2's zero planes for grid-1
+                    # kinds would clobber grid 1's samples (and vice versa).
+                    @pl.when((kmask & (1 << k)) > 0)
+                    def _(k=k):
+                        samp_ref[k, pl.ds(s0, slab), :] = accs[k]
+                else:
+                    samp_ref[k, pl.ds(s0, slab), :] = accs[k]
 
     def visit_at(wc_lo, wc_hi, nwc_x):
         def visit(v, carry):
@@ -1449,10 +1582,10 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     def _():
         # Slab texel footprint (winning pixels) -> the window subgrid it
         # intersects. Exact grid scalars from the sdata table (rare path).
-        nwr_x = sdata_ref[f, 2]
-        nwc_x = sdata_ref[f, 3]
-        rb_x = sdata_ref[f, 7]
-        cb_x = sdata_ref[f, 8]
+        nwr_x = sdata_ref[f, cols_fp[0]]
+        nwc_x = sdata_ref[f, cols_fp[1]]
+        rb_x = sdata_ref[f, cols_fp[2]]
+        cb_x = sdata_ref[f, cols_fp[3]]
         big = jnp.int32(2 ** 30)
         trmin = jnp.min(jnp.where(win, row, big))
         trmax = jnp.max(jnp.where(win, row, -big))
@@ -1465,19 +1598,6 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
         nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
         jax.lax.fori_loop(0, nv, visit_at(wc0, wc1, nwc_x), (wr0, wc0))
 
-#: Texel rows per window / per kind plane inside a window-content row block.
-WIN_R = 16
-WIN_C = 128
-
-#: Speculatively prefetched windows per face (covers ~p95 of diablo faces);
-#: ranges beyond SPEC fall back to synchronous per-window DMA.
-_SPEC = 4
-
-#: Pixel-slab height for per-visit sampler work — must EQUAL _FSLAB (the
-#: fused kernel hands _sample_face_slab winner masks of _FSLAB rows) and be
-#: a multiple of 8 for aligned dynamic sublane slices.
-_SLAB = _FSLAB
-_SLAB_SHIFT = _SLAB.bit_length() - 1
 
 
 # Sampler word2 (SMEM, appended to the scalar-prefetch counts vector): the
@@ -1490,12 +1610,14 @@ _W2_NWC = 6
 _W2_WB = 9
 
 
-def pack_sample_word2(faces):
-    """faces dict -> (G,) i32 sampler scalars (see _W2_*)."""
-    wn = jnp.minimum(faces["wnwr"] * faces["wnwc"], 7)
-    nwc = jnp.minimum(faces["wnwc"], 7)
-    return (faces["wkmask"] | (wn << _W2_WN) | (nwc << _W2_NWC)
-            | (faces["wbase"] << _W2_WB)).astype(jnp.int32)
+def pack_sample_word2(faces, grid=1):
+    """faces dict -> (G,) i32 sampler scalars (see _W2_*); grid=2 packs the
+    second shape-group's word3 with the identical layout."""
+    sfx = "" if grid == 1 else "2"
+    wn = jnp.minimum(faces[f"wnwr{sfx}"] * faces[f"wnwc{sfx}"], 7)
+    nwc = jnp.minimum(faces[f"wnwc{sfx}"], 7)
+    return (faces[f"wkmask{sfx}"] | (wn << _W2_WN) | (nwc << _W2_NWC)
+            | (faces[f"wbase{sfx}"] << _W2_WB)).astype(jnp.int32)
 
 
 def _check_pack_limits(n):
@@ -1521,16 +1643,23 @@ assert _max_bin_entry() < 2 ** 31, (
 
 
 def pack_sample_faces(faces):
-    """faces dict -> (G, _S_COLS) int32 sampler table."""
+    """faces dict -> (G, _S_COLS) int32 sampler table. Cols 11-16 hold the
+    optional second shape-group's grid scalars (see _S2_NWR.. below)."""
     g = faces["sx"].shape[0]
     cols = jnp.stack([
         faces["gid"], faces["wbase"], faces["wnwr"], faces["wnwc"],
         faces["wkmask"], faces["wthw"][:, 0], faces["wthw"][:, 1],
         faces["wrbase"], faces["wcbase"],
         faces["bbox"][:, 2], faces["bbox"][:, 3],   # pixel-row extent
+        faces["wnwr2"], faces["wnwc2"], faces["wrbase2"], faces["wcbase2"],
+        faces["wthw2"][:, 0], faces["wthw2"][:, 1],
     ], axis=1).astype(jnp.int32)
     return jnp.concatenate(
         [cols, jnp.zeros((g, _S_COLS - cols.shape[1]), jnp.int32)], axis=1)
+
+
+#: sdata columns of the second grid (footprint path + standalone kernel).
+_S2_NWR, _S2_NWC, _S2_RB, _S2_CB, _S2_TH, _S2_TW = 11, 12, 13, 14, 15, 16
 
 
 def _pad2d(a, hp, wp, fill):
@@ -1539,9 +1668,10 @@ def _pad2d(a, hp, wp, fill):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "n_kinds", "interpret",
-                                   "mode"))
+                                   "mode", "two_groups"))
 def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
-                           n_kinds, interpret=False, mode="full"):
+                           n_kinds, interpret=False, mode="full",
+                           two_groups=False):
     """Per-pixel nearest texture sampling from per-face texel windows.
 
     Replaces the XLA per-pixel table gathers (~13 ms per million indices on
@@ -1587,6 +1717,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         gid0k = counts_ref[n_chunks * n_ty * n_tx] + c * chunk
         w2base = n_chunks * n_ty * n_tx + 1 + c * chunk
+        w3base = w2base + n_chunks * chunk   # second grid's word3 block
 
         @pl.when(c == 0)
         def _():
@@ -1627,7 +1758,13 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             if _dbg_dma:
                 spec_dma(buf, w2 >> _W2_WB).wait()
 
-            @pl.when(kmask > 0)
+            if two_groups:
+                w3 = counts_ref[w3base + f]
+                any_kind = (kmask | (w3 & 7)) > 0
+            else:
+                any_kind = kmask > 0
+
+            @pl.when(any_kind)
             def _():
                 # Pixel-row slabs (from the packed bin entry): every
                 # per-visit vector op shrinks from the (64, 128) tile to a
@@ -1639,14 +1776,37 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                     def _():
                         iu_s = iu_ref[pl.ds(s0, _SLAB), :]
                         iv_s = iv_ref[pl.ds(s0, _SLAB), :]
-                        _sample_face_slab(
-                            sdata_ref, f, w2 >> _W2_WB, (w2 >> _W2_WN) & 7,
-                            (w2 >> _W2_NWC) & 7, kmask,
-                            sdata_ref[f, 5], sdata_ref[f, 6],
-                            sdata_ref[f, 7], sdata_ref[f, 8],
-                            buf, s0, win, iu_s, iv_s, spec,
-                            sync, sem_sync, win_hbm, samp_ref, mask_ref,
-                            n_kinds, sweep=_dbg_sweep)
+
+                        @pl.when(kmask > 0)
+                        def _():
+                            _sample_face_slab(
+                                sdata_ref, f, w2 >> _W2_WB,
+                                (w2 >> _W2_WN) & 7,
+                                (w2 >> _W2_NWC) & 7, kmask,
+                                sdata_ref[f, 5], sdata_ref[f, 6],
+                                sdata_ref[f, 7], sdata_ref[f, 8],
+                                buf, s0, win, iu_s, iv_s, spec,
+                                sync, sem_sync, win_hbm, samp_ref, mask_ref,
+                                n_kinds, sweep=_dbg_sweep,
+                                kind_gate=two_groups)
+                        if two_groups:
+                            @pl.when((w3 & 7) > 0)
+                            def _():
+                                _sample_face_slab(
+                                    sdata_ref, f, w3 >> _W2_WB,
+                                    (w3 >> _W2_WN) & 7,
+                                    (w3 >> _W2_NWC) & 7, w3 & 7,
+                                    sdata_ref[f, _S2_TH],
+                                    sdata_ref[f, _S2_TW],
+                                    sdata_ref[f, _S2_RB],
+                                    sdata_ref[f, _S2_CB],
+                                    buf, s0, win, iu_s, iv_s, spec,
+                                    sync, sem_sync, win_hbm, samp_ref,
+                                    mask_ref, n_kinds, sweep=_dbg_sweep,
+                                    spec_n=0,
+                                    cols_fp=(_S2_NWR, _S2_NWC,
+                                             _S2_RB, _S2_CB),
+                                    kind_gate=True)
 
                 if _dbg_scan:
                     _for_each_slab(s_base, n_slabs, slab_body)
@@ -1693,8 +1853,11 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ],
         interpret=interpret,
-    )(jnp.concatenate([counts.reshape(-1), faces["gid"][0].reshape(1),
-                       _pad_rows_to(pack_sample_word2(faces), chunk)]),
+    )(jnp.concatenate(
+        [counts.reshape(-1), faces["gid"][0].reshape(1),
+         _pad_rows_to(pack_sample_word2(faces), chunk)]
+        + ([_pad_rows_to(pack_sample_word2(faces, grid=2), chunk)]
+           if two_groups else [])),
       idx, sdata, windows, tid_p, iu_p, iv_p)
     return samp[:, :height, :width], mask[:height, :width]
 
