@@ -642,6 +642,17 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         # Sharded Pallas: per-shard z/id kernels in global coordinates
         # (bit-identical pixel math; tile grids shift by row0), buffers
         # merged with XLA collectives over ICI.
+        #
+        # Tris-sharded mode pays 4 kernel passes where single-chip pays 1
+        # (SURVEY §5.8): vis-z -> pmin -> tid re-claim -> pmax -> G-buffer
+        # -> psum -> sampler -> psum. The merge points make this
+        # irreducible: winner ids are only meaningful against the GLOBAL
+        # z-buffer, which exists only after the pmin, and the G-buffer can
+        # only interpolate against the global ids after the pmax — each
+        # collective is a data dependency no kernel fusion can cross. The
+        # one real waste is tid_local (computed by visibility_pallas and
+        # discarded when axis_tris is set): ~1/3 of pass 1's per-visit
+        # stores. Unverifiable on a 1-chip host; revisit with real ICI.
         from tpu_renderer.ops.raster_pallas import (face_bins, gbuffer_pallas,
                                                     tidpass_pallas,
                                                     visibility_pallas)

@@ -1128,7 +1128,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     def kernel(counts_ref, idx_ref, fdata_ref, *rest):
         if sampling:
             (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
-             mask_ref, spec, sync, sems, sem_sync) = rest
+             mask_ref, spec, sync, sems, sems2, sem_sync) = rest
         else:
             zb_ref, tid_ref, gb_ref = rest
         ty = pl.program_id(0)
@@ -1156,9 +1156,20 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
         if sampling:
-            def spec_dma(buf, wb):
+            # Speculative window DMA, split in two: most faces have a 1-2
+            # window grid, so the first pair copies unconditionally and the
+            # second pair only when wn > 2 — ~halves the speculative HBM
+            # traffic (the single (SPEC, ..) block measured 0.79 ms of the
+            # 1024² frame, tools/exp_fused.py dmaonly mode).
+            def spec_dma_lo(buf, wb):
                 return pltpu.make_async_copy(
-                    win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
+                    win_hbm.at[pl.ds(wb, _SPEC // 2)],
+                    spec.at[buf, 0:_SPEC // 2], sems.at[buf])
+
+            def spec_dma_hi(buf, wb):
+                return pltpu.make_async_copy(
+                    win_hbm.at[pl.ds(wb + _SPEC // 2, _SPEC // 2)],
+                    spec.at[buf, _SPEC // 2:_SPEC], sems2.at[buf])
 
             w2base = n_chunks * n_ty * n_tx + 2 + c * chunk
             # word3 (second grid) rides after the full word2 block.
@@ -1166,7 +1177,19 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
             def prefetch(k, buf):
                 fp = (idx_ref[0, 0, k, 0] >> _BIN_F) & _BIN_FMASK
-                spec_dma(buf, counts_ref[w2base + fp] >> _W2_WB).start()
+                w2p = counts_ref[w2base + fp]
+                spec_dma_lo(buf, w2p >> _W2_WB).start()
+
+                @pl.when(((w2p >> _W2_WN) & 7) > _SPEC // 2)
+                def _():
+                    spec_dma_hi(buf, w2p >> _W2_WB).start()
+
+            def drain(buf, w2):
+                spec_dma_lo(buf, w2 >> _W2_WB).wait()
+
+                @pl.when(((w2 >> _W2_WN) & 7) > _SPEC // 2)
+                def _():
+                    spec_dma_hi(buf, w2 >> _W2_WB).wait()
 
         @pl.when(jnp.logical_not(phase))
         def _():
@@ -1219,7 +1242,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                     @pl.when(k + 1 < count)
                     def _():
                         prefetch(k + 1, 1 - buf)
-                    spec_dma(buf, w2 >> _W2_WB).wait()
+                    drain(buf, w2)
                 co = _face_row(fdata_ref, f, (_FSLAB, TILE_W))
 
                 def slab(s0):
@@ -1345,6 +1368,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         scratch_shapes = [
             pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
             pltpu.VMEM((wrows, WIN_C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ]
@@ -1532,7 +1556,13 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
                 else:
                     samp_ref[k, pl.ds(s0, slab), :] = accs[k]
 
-    def visit_at(wc_lo, wc_hi, nwc_x):
+    def visit_at(wc_lo, wc_hi, nwc_x, fetch="dyn"):
+        """fetch: "spec" = all visits read the speculative buffer (exact
+        when wn <= spec_n — the wn <= _SPEC branch with spec_n == _SPEC);
+        "sync" = all visits use synchronous DMA (spec_n == 0, the second
+        shape-group grid); "dyn" = per-visit off < wn_spec test (the
+        footprint path, which mixes both). Static specialization removes
+        two scalar branches per visit from the hot loop."""
         def visit(v, carry):
             wr, wc = carry
             off = wr * nwc_x + wc
@@ -1554,17 +1584,25 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
             rel_c = col - c0w
             rel_c = rel_c + tw * (rel_c < -(tw - WIN_C))
 
-            @pl.when(off < wn_spec)
-            def _():
-                process_window(spec[buf, off], rel_r, rel_c)
-
-            @pl.when(off >= wn_spec)
-            def _():
+            def from_sync():
                 dma = pltpu.make_async_copy(win_hbm.at[wb + off], sync,
                                             sem_sync)
                 dma.start()
                 dma.wait()
                 process_window(sync[:], rel_r, rel_c)
+
+            if fetch == "spec":
+                process_window(spec[buf, off], rel_r, rel_c)
+            elif fetch == "sync":
+                from_sync()
+            else:
+                @pl.when(off < wn_spec)
+                def _():
+                    process_window(spec[buf, off], rel_r, rel_c)
+
+                @pl.when(off >= wn_spec)
+                def _():
+                    from_sync()
 
             wc2 = jnp.where(wc + 1 > wc_hi, wc_lo, wc + 1)
             wr2 = jnp.where(wc + 1 > wc_hi, wr + 1, wr)
@@ -1574,9 +1612,16 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     # Fully-speculative faces (the common case: a 1-2 window grid) visit
     # every window — the 4 masked full-reduces of the texel footprint cost
     # more than the 0-3 extra inwin-masked visits they could prune.
+    # MEASURED (round 3): unrolling the wn == 1 case straight-line gained
+    # nothing (faces are mostly wn == 2: a ~15-texel UV bbox anchored at
+    # floor(min)-1 spans two 16-row windows).
     @pl.when(wn <= _SPEC)
     def _():
-        jax.lax.fori_loop(0, wn, visit_at(0, nwc - 1, nwc), (0, 0))
+        jax.lax.fori_loop(
+            0, wn,
+            visit_at(0, nwc - 1, nwc,
+                     fetch="spec" if spec_n == _SPEC else "sync"),
+            (0, 0))
 
     @pl.when(wn > _SPEC)
     def _():
@@ -1596,7 +1641,11 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
         wc0 = jnp.clip((tcmin - cb_x) >> 7, 0, nwc_x - 1)
         wc1 = jnp.clip((tcmax - cb_x) >> 7, 0, nwc_x - 1)
         nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
-        jax.lax.fori_loop(0, nv, visit_at(wc0, wc1, nwc_x), (wr0, wc0))
+        jax.lax.fori_loop(
+            0, nv,
+            visit_at(wc0, wc1, nwc_x,
+                     fetch="sync" if spec_n == 0 else "dyn"),
+            (wr0, wc0))
 
 
 
@@ -1710,7 +1759,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
     wrows = windows.shape[1]            # 16 * n_kinds
 
     def kernel(counts_ref, idx_ref, sdata_ref, win_hbm, tid_ref, iu_ref,
-               iv_ref, samp_ref, mask_ref, spec, sync, sems, sem_sync):
+               iv_ref, samp_ref, mask_ref, spec, sync, sems, sems2,
+               sem_sync):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
@@ -1724,13 +1774,19 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             samp_ref[:] = jnp.zeros((n_kinds, TILE_H, TILE_W), jnp.int32)
             mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
-        def spec_dma(buf, wb):
-            # One contiguous (_SPEC, wrows, WIN_C) block: a face's windows are
-            # consecutive rows (wbase + j), so the speculative set moves in a
-            # single DMA with a single semaphore — the windows table carries
-            # _SPEC rows of tail padding to keep the last faces in bounds.
+        # Speculative window DMA split in two (see the fused kernel): the
+        # first _SPEC/2 windows copy unconditionally — a face's windows are
+        # consecutive rows (wbase + j), and the table carries _SPEC rows of
+        # tail padding — the rest only when the grid is that big.
+        def spec_dma_lo(buf, wb):
             return pltpu.make_async_copy(
-                win_hbm.at[pl.ds(wb, _SPEC)], spec.at[buf], sems.at[buf])
+                win_hbm.at[pl.ds(wb, _SPEC // 2)],
+                spec.at[buf, 0:_SPEC // 2], sems.at[buf])
+
+        def spec_dma_hi(buf, wb):
+            return pltpu.make_async_copy(
+                win_hbm.at[pl.ds(wb + _SPEC // 2, _SPEC // 2)],
+                spec.at[buf, _SPEC // 2:_SPEC], sems2.at[buf])
 
         _dbg_dma = mode not in ("nodma", "noscan")
         _dbg_sweep = mode not in ("nosweep", "noscan")
@@ -1738,7 +1794,12 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
 
         def prefetch(k, buf):
             f = (idx_ref[0, 0, k, 0] >> _BIN_F) & _BIN_FMASK
-            spec_dma(buf, counts_ref[w2base + f] >> _W2_WB).start()
+            w2p = counts_ref[w2base + f]
+            spec_dma_lo(buf, w2p >> _W2_WB).start()
+
+            @pl.when(((w2p >> _W2_WN) & 7) > _SPEC // 2)
+            def _():
+                spec_dma_hi(buf, w2p >> _W2_WB).start()
 
         @pl.when((count > 0) & _dbg_dma)
         def _():
@@ -1756,7 +1817,11 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             def _():
                 prefetch(k + 1, 1 - buf)
             if _dbg_dma:
-                spec_dma(buf, w2 >> _W2_WB).wait()
+                spec_dma_lo(buf, w2 >> _W2_WB).wait()
+
+                @pl.when(((w2 >> _W2_WN) & 7) > _SPEC // 2)
+                def _():
+                    spec_dma_hi(buf, w2 >> _W2_WB).wait()
 
             if two_groups:
                 w3 = counts_ref[w3base + f]
@@ -1841,6 +1906,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         scratch_shapes=[
             pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
             pltpu.VMEM((wrows, WIN_C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
