@@ -170,3 +170,34 @@ def test_sharded_windowed_sampler_matches_single_chip(shape):
     sharded = np.asarray(sharded)
     same = (single == sharded).all(axis=-1)
     assert same.mean() >= 0.999, f"only {same.mean():.4f} identical"
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
+def test_sharded_two_shape_groups_matches_single_chip(shape):
+    """Second texture shape-group under sharding: the cube's kd gets one
+    shape and its normal map another, so both the fused kernel (rows-only)
+    and the standalone sampler (tris shards) run the group-2 pass
+    (raster_pallas two_groups=True) — must stay bit-compatible."""
+    n_rows, n_tris = shape
+    scene = _scene((64, 64))
+    cube = scene.models[0]
+    rng = np.random.default_rng(3)
+    dt = np.dtype(np.float32, metadata={"tangent": False})
+    for m in cube.materials.values():
+        m.map_Kd = np.asarray(rng.random((32, 256, 3)), dtype=dt)
+        m.norm = np.asarray(rng.random((16, 128, 3)) * 2 - 1, dtype=dt)
+    cube.normal_map_is_tangent = False
+    cube.bump_version()
+    scene.backend = "pallas"
+    scene.tex_kernel = True
+    cfg, dyn = _cfg_dyn(scene)
+    assert cfg.models[0].win2, "second shape-group grid not built"
+
+    single, zb1, tid1, st1 = render_frame_jit(cfg, dyn)
+    mesh = make_render_mesh(jax.devices()[:n_rows * n_tris], n_tris=n_tris)
+    sharded, zb2, tid2, st2 = render_frame_sharded(cfg, dyn, mesh)
+
+    single = np.asarray(single)
+    sharded = np.asarray(sharded)
+    same = (single == sharded).all(axis=-1)
+    assert same.mean() >= 0.999, f"only {same.mean():.4f} identical"
