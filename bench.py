@@ -158,12 +158,21 @@ def _bench_scene(name, scene, n=15, animate=None):
     positions = (animate(n) if animate
                  else jnp.broadcast_to(pos0, (n, 3)))
     np.asarray(step(dyn, positions[0]))
-    t0 = time.time()
-    frames = [step(dyn, positions[i]) for i in range(n)]
-    np.asarray(frames[-1][:8, :128])
-    fps = n / (time.time() - t0)
+    # 3 rounds, best + median — one round is NOT enough: the first pipelined
+    # batch after compile pays a one-time ~0.4 s cost (axon tunnel
+    # flow-control; tools/exp_config1b.py: 31.7 ms/frame round 0 vs 4.1 ms
+    # rounds 1+ on the same input buffers), which once mis-read as a
+    # "config 1 collapsed to 31 fps" regression.
+    rounds = []
+    for _ in range(3):
+        t0 = time.time()
+        frames = [step(dyn, positions[i]) for i in range(n)]
+        np.asarray(frames[-1][:8, :128])
+        rounds.append((time.time() - t0) / n)
+    fps = 1.0 / min(rounds)
     faces = sum(m.num_faces for m in scene.models)
     row = {"config": name, "fps": round(fps, 2),
+           "median_fps": round(1.0 / sorted(rounds)[1], 2),
            "mtri_per_s": round(faces * fps / 1e6, 3)}
     print(json.dumps(row))
     return row
