@@ -78,6 +78,17 @@ _BIN_SB = 10
 _BIN_NSL = 7
 _BIN_FMASK = (1 << 13) - 1
 
+# The maximum composed entry must stay below 2**31 or widened fields would
+# wrap into the sign bit and corrupt the sort order. Current headroom is
+# only 127 (bits 0-6 unused by the face layout): fail loudly at import if
+# any field widens past it.
+_MAX_ENTRY = ((1 << _BIN_KEY) | (_BIN_FMASK << _BIN_F)
+              | (((1 << (_BIN_F - _BIN_FLAGS)) - 1) << _BIN_FLAGS)
+              | (((1 << (_BIN_FLAGS - _BIN_SB)) - 1) << _BIN_SB)
+              | (7 << _BIN_NSL))      # 3-bit slab count; bits 0-6 unused
+assert _MAX_ENTRY < 2 ** 31, (
+    f"packed bin entry may overflow i32: max {_MAX_ENTRY} >= 2^31")
+
 
 def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
                    edge_coeffs=None, row0=0, flags=None):
@@ -752,7 +763,7 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                        1.0 * row0]).astype(jnp.float32)
 
     def kernel(counts_ref, zscal_ref, idx_ref, qdata_ref, zb_ref,
-               st_ref, ins_ref):
+               st_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
@@ -766,6 +777,11 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             jnp.int32, (_STEN_TH, TILE_W), 0).astype(jnp.float32) + y0
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (_STEN_TH, TILE_W), 1).astype(jnp.float32) + x0
+        # For the bbox window folded into the min test below: over
+        # integer-valued pixel coords, cols >= b  <=>  cols - b + 1 > 0
+        # (exact in f32 below 2^23; the bbox columns are ceil'd integers).
+        colsp = cols + 1.0
+        rowsp = rows + 1.0
 
         @pl.when(c == 0)
         def _():
@@ -778,54 +794,58 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             front = (e_ent & 8) > 0
             co = _face_row(qdata_ref, q, (_STEN_TH, TILE_W))
 
-            def edge_test(inside, i):
+            def edge_min(m, i):
                 # Precomputed half-plane (orientation folded in, inactive
-                # slots always-true) — 2 FMA + compare per edge.
+                # slots always-true (0,0,1)) — inside iff every edge value
+                # is > 0, i.e. the running MINIMUM is > 0: min accumulation
+                # replaces compare+and per edge and needs no bool vectors
+                # (Mosaic handles f32 min better than i1 chains).
                 cross = co(i) * cols + co(12 + i) * rows + co(24 + i)
-                return inside & (cross > 0)
+                return jnp.minimum(m, cross) if m is not None else cross
 
-            # Clipped polys average ~4 vertices: test 4 edges straight-line,
-            # 5-6 and the rare 7..12 only when present (a taken-false pl.when
-            # is far cheaper than a full-tile edge evaluation). Branches
-            # carry through an i32 scratch ref: Mosaic lowers pl.when on
-            # ref mutations but not lax.cond with vector carries.
-            inside = jnp.ones((_STEN_TH, TILE_W), bool)
-            for i in range(4):
-                inside = edge_test(inside, i)
-            ins_ref[:] = inside.astype(jnp.int32)
+            def tail(m):
+                # Bbox window folded into the min (see colsp/rowsp above):
+                # identical pixel set to the old (cols >= b0) & (cols < b1)
+                # & (rows >= b2) & (rows < b3) compare chain.
+                m = jnp.minimum(m, colsp - co(40))
+                m = jnp.minimum(m, co(41) - cols)
+                m = jnp.minimum(m, rowsp - co(42))
+                m = jnp.minimum(m, co(43) - rows)
+
+                # zb >= sign*nf2/q  <=>  (zb*q - sign*nf2 >= 0) == (q > 0):
+                # the multiply-compare form skips two full-tile f32 divides.
+                # Same expression as the XLA _quad_fragments path —
+                # identical stencils. Geometry pixels only: background
+                # (unwritten z) never reads the stencil in shading, and
+                # excluding it enables the z-occlusion prune in _bin_quads.
+                zraw = co(36) * cols + co(37) * rows + co(38)
+                qden = fpn - zraw * fmn
+                pass_z = (((zb_ref[:] * qden - sign * nf2 >= 0)
+                           == (qden > 0)) & (zb_ref[:] < 3e38))
+
+                contrib = jnp.where(front, 1, -1).astype(jnp.int32)
+                mask = (m > 0) & pass_z
+                st_ref[:] = st_ref[:] + jnp.where(mask, contrib, 0)
+
+            # Clipped polys average ~4 vertices: the common case runs 4
+            # edges + tail straight-line with NO scratch traffic; rarer
+            # >4-vertex polys recompute all 12 slots (inactive ones are
+            # always-true) in their own branch. Duplicating the tail in two
+            # pl.when bodies beats carrying a vector through a scratch ref:
+            # exactly one branch executes per visit.
+            @pl.when(nverts <= 4)
+            def _():
+                m = None
+                for i in range(4):
+                    m = edge_min(m, i)
+                tail(m)
 
             @pl.when(nverts > 4)
             def _():
-                ins = ins_ref[:] != 0
-                for i in range(4, 6):
-                    ins = edge_test(ins, i)
-                ins_ref[:] = ins.astype(jnp.int32)
-
-            @pl.when(nverts > 6)
-            def _():
-                ins = ins_ref[:] != 0
-                for i in range(6, 12):
-                    ins = edge_test(ins, i)
-                ins_ref[:] = ins.astype(jnp.int32)
-            inside = ins_ref[:] != 0
-
-            window = ((cols >= co(40)) & (cols < co(41)) &
-                      (rows >= co(42)) & (rows < co(43)))
-
-            # zb >= sign*nf2/q  <=>  (zb*q - sign*nf2 >= 0) == (q > 0):
-            # the multiply-compare form skips two full-tile f32 divides.
-            # Same expression as the XLA _quad_fragments path — identical
-            # stencils. Geometry pixels only: background (unwritten z) never
-            # reads the stencil in shading, and excluding it enables the
-            # z-occlusion prune in _bin_quads.
-            zraw = co(36) * cols + co(37) * rows + co(38)
-            qden = fpn - zraw * fmn
-            pass_z = (((zb_ref[:] * qden - sign * nf2 >= 0) == (qden > 0))
-                      & (zb_ref[:] < 3e38))
-
-            contrib = jnp.where(front, 1, -1).astype(jnp.int32)
-            mask = inside & window & pass_z
-            st_ref[:] = st_ref[:] + jnp.where(mask, contrib, 0)
+                m = None
+                for i in range(12):
+                    m = edge_min(m, i)
+                tail(m)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -845,9 +865,6 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         out_specs=[
             pl.BlockSpec((_STEN_TH, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
                          memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((_STEN_TH, TILE_W), jnp.int32),
         ],
     )
     (stencil,) = pl.pallas_call(
