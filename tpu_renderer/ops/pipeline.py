@@ -766,10 +766,10 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 def _stencil_for(scr, cnt, okk):
                     qdata, qi = pack_quads(scr, cnt, okk, height, width,
                                            near, far)
-                    return stencil_pallas(qdata, qi, zbuf, local_height,
+                    return stencil_pallas(qdata, qi, None, local_height,
                                           width, sign, near, far,
                                           interpret=cfg.pallas_interpret,
-                                          row0=row0)
+                                          row0=row0, zb_sign=zb_sign)
 
                 if axis_tris is None and sil_cap is not None:
                     # prepare_quads compacted silhouettes into rows [:cap]

@@ -414,7 +414,7 @@ def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None,
     return jnp.stack(counts), jnp.stack(idx)[..., None]
 
 
-def face_bins(faces, height, width, row0=0, with_debug=False):
+def face_bins(faces, height, width, row0=0, with_debug=False, exact=True):
     """Shared tile/face intersection lists: (counts, idx, chunk).
 
     Computed once per frame and reused by the visibility/G-buffer kernel and
@@ -422,12 +422,14 @@ def face_bins(faces, height, width, row0=0, with_debug=False):
     Entries are PACKED (index | flags | tile-relative bbox rows, see
     _BIN_*) so kernel visits decode everything from one scalar read.
     ``with_debug`` must match the kernels' (it affects the needs-clip flag
-    bit).
+    bit). ``exact=False`` bins by bbox only (skips the edge-coverage prune
+    — an A/B knob; see tools/exp_binprune.py).
     """
     g0 = faces["sx"].shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
     coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], chunk),
-                                "sy": _pad_rows_to(faces["sy"], chunk)})
+                                "sy": _pad_rows_to(faces["sy"], chunk)}) \
+        if exact else None
     counts, idx = _chunked_bins(
         _pad_rows_to(faces["bbox"], chunk),
         _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
@@ -729,8 +731,15 @@ def pack_quads(screen, counts, ok, height, width, near, far):
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "interpret"))
 def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
-                   interpret=False, row0=0):
-    """Tile-binned signed stencil accumulation against the final z-buffer."""
+                   interpret=False, row0=0, zb_sign=None):
+    """Tile-binned signed stencil accumulation against the final z-buffer.
+
+    ``zb_sign``: optional sign-space z-buffer (what visibility_pallas
+    already produces). When given, ``zbuf`` is ignored; when its shape also
+    matches the tile-padded frame exactly (1024² does), the ~0.2 ms pad
+    copy of the 4 MB buffer disappears. ``zbuf * sign`` equals ``zb_sign``
+    bit-for-bit (sign is ±1), so all paths stay identical.
+    """
     e0 = qdata.shape[0]
     chunk = min(FACE_CHUNK, -(-e0 // 128) * 128)
     qdata = _pad_rows_to(qdata, chunk)
@@ -739,8 +748,13 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     n_chunks = e // chunk
     n_ty = _cdiv(height, _STEN_TH)
     n_tx = _cdiv(width, TILE_W)
-    zb_pad = jnp.full((n_ty * _STEN_TH, n_tx * TILE_W), jnp.inf, jnp.float32)
-    zb_pad = zb_pad.at[:height, :width].set(zbuf * sign)
+    src = zb_sign if zb_sign is not None else zbuf * sign
+    if src.shape == (n_ty * _STEN_TH, n_tx * TILE_W):
+        zb_pad = src
+    else:
+        zb_pad = jnp.full((n_ty * _STEN_TH, n_tx * TILE_W), jnp.inf,
+                          jnp.float32)
+        zb_pad = zb_pad.at[:height, :width].set(src)
     # Background pixels (z-buffer never written) are excluded from the Pallas
     # stencil: the frame never reads stencil there (background overrides in
     # shading, exactly like the reference's face-only pass 3), and treating
