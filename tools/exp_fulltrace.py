@@ -28,14 +28,22 @@ def main():
 
     @jax.jit
     def program(dyn, rs):
+        # Reps CHAIN through a consumed output scalar (acc is a frame byte,
+        # <= 255, so abs(acc) >> 30 == 0): without the data dependency XLA
+        # overlaps two fused-kernel instances and their combined scoped VMEM
+        # (2 x ~9.7 MB at TILE_H=256) trips the 16 MB compiler limit.
+        acc = jnp.int32(0)
         outs = []
         for r in range(REPS):
             d = dict(dyn)
             cam = dict(d["camera"])
-            cam["position"] = cam["position"] + (rs[r] >> 30).astype(
-                jnp.float32)
+            cam["position"] = (cam["position"]
+                               + (rs[r] >> 30).astype(jnp.float32)
+                               + (jnp.abs(acc) >> 30).astype(jnp.float32))
             d["camera"] = cam
-            outs.append(pp.render_frame(cfg, d)[0][:8, :128, 0])
+            o = pp.render_frame(cfg, d)[0][:8, :128, 0]
+            acc = o[0, 0].astype(jnp.int32)
+            outs.append(o)
         return jnp.concatenate([o.astype(jnp.float32).reshape(-1)
                                 for o in outs])
 

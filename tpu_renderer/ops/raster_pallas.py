@@ -43,7 +43,16 @@ __all__ = ["bin_primitives", "pack_faces", "visibility_pallas",
            "pack_quads", "stencil_pallas", "face_bins",
            "sample_textures_pallas", "TILE_H", "TILE_W"]
 
-TILE_H = 64
+# Face-kernel tile shape. The per-(face,tile) visit cost is scalar-bound
+# (~148 cyc, tools/exp_visit.py) and slab ranges already restrict each
+# visit's vector work to the face's bbox rows, so taller tiles cut visits
+# (fewer tile-row crossings) and per-tile fixed costs at ZERO extra vector
+# work. MEASURED on the flagship 1024² (round 3): 64 -> 128 -> 256 rows =
+# 94.1 -> 99.3 -> 106.6 fps; 512 exceeds the 16 MB scoped-VMEM limit
+# (the fused kernel's 32-channel G-buffer block alone is 8 MB there).
+# The packed bin-entry slab fields (_BIN_SB/_BIN_NSL below) must track
+# TILE_H: s_base/8 needs log2(TILE_H/8) bits.
+TILE_H = 256
 TILE_W = 128
 
 # Float payload layout for faces (pack_faces):
@@ -74,18 +83,18 @@ def _cdiv(a, b):
 _BIN_KEY = 30
 _BIN_F = 17              # requires FACE_CHUNK <= 2**13
 _BIN_FLAGS = 13
-_BIN_SB = 10
-_BIN_NSL = 7
+_BIN_SB = 8              # 5 bits: s_base/8 in 0..31 (TILE_H = 256)
+_BIN_NSL = 5
 _BIN_FMASK = (1 << 13) - 1
 
 # The maximum composed entry must stay below 2**31 or widened fields would
 # wrap into the sign bit and corrupt the sort order. Current headroom is
-# only 127 (bits 0-6 unused by the face layout): fail loudly at import if
+# only 63 (bits 0-5 unused by the face layout): fail loudly at import if
 # any field widens past it.
 _MAX_ENTRY = ((1 << _BIN_KEY) | (_BIN_FMASK << _BIN_F)
               | (((1 << (_BIN_F - _BIN_FLAGS)) - 1) << _BIN_FLAGS)
               | (((1 << (_BIN_FLAGS - _BIN_SB)) - 1) << _BIN_SB)
-              | (7 << _BIN_NSL))      # 3-bit slab count; bits 0-6 unused
+              | (7 << _BIN_NSL))      # 3-bit slab count; bits 0-5 unused
 assert _MAX_ENTRY < 2 ** 31, (
     f"packed bin entry may overflow i32: max {_MAX_ENTRY} >= 2^31")
 
@@ -321,7 +330,7 @@ def _visit_claim(fdata_ref, f, flags, rows, cols, with_debug, apply):
 
 #: Pixel-row slab height for per-visit face work. Faces are tiny (p50 bbox
 #: height 3 px on the flagship mesh): restricting each visit's vector work
-#: from the (64, 128) tile to the row slabs its bbox touches cuts the
+#: from the (TILE_H, 128) tile to the row slabs its bbox touches cuts the
 #: dominant per-visit cost ~4x. Must divide TILE_H and be a multiple of 8
 #: (aligned dynamic sublane slices). MEASURED (round 3): 8-row slabs
 #: (1 VREG) are ~17% SLOWER end-to-end (69.7 vs 83.6 fps at 1024^2) —
@@ -338,7 +347,7 @@ def _decode_bin(e):
     makes revisits idempotent)."""
     f = (e >> _BIN_F) & _BIN_FMASK
     flags = (e >> _BIN_FLAGS) & 0xF
-    s_base = ((e >> _BIN_SB) & 0x7) << 3
+    s_base = ((e >> _BIN_SB) & 0x1F) << 3
     n_slabs = (e >> _BIN_NSL) & 0x7
     return f, flags, s_base, n_slabs
 
@@ -558,15 +567,15 @@ _Q_COLS = 128
 _QI_COLS = 8
 
 #: Stencil-kernel tile height, decoupled from the face kernels' TILE_H.
-#: Shadow quads are long slivers: smaller tiles make the corner-max and
-#: z-occlusion prunes finer (fewer false visits) and shrink each visit's
-#: full-tile vector work, at the cost of more tiles/visits. MEASURED
-#: (round 3, tools/exp_shadowprep.py, flagship 1024²): 64 -> 32 rows makes
-#: the kernel 0.398 -> 0.570 ms/instance (2.39 -> 3.42 ms/call) — the
-#: extra visits' fixed cost (bin-entry read, fori, scalar decode) swamps
-#: the halved vector width, same lesson as _FSLAB=8. Keep TILE_H; the
-#: STEN_TH env override stays as the A/B knob.
-_STEN_TH = int(__import__("os").environ.get("STEN_TH", TILE_H))
+#: Stencil visits do FULL-tile vector work (no slab ranges — quads are
+#: long slivers whose bbox rows rarely bound anything; per-slab pruning
+#: measured 2x slower, f81898d), so tile height trades visit count
+#: against vector width per visit. MEASURED (flagship 1024², round 3):
+#: 32 rows 3.42 ms/call, 64 rows 2.39 (later 1.99), 128 rows best —
+#: whole-frame 106.6 -> 111.4 fps; 256 gains nothing more (shadow quads
+#: are tall but the extra width is wasted on the prunes' granularity).
+#: STEN_TH stays the A/B knob.
+_STEN_TH = int(__import__("os").environ.get("STEN_TH", 128))
 
 
 def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
@@ -1714,7 +1723,7 @@ def _max_bin_entry():
     return ((1 << _BIN_KEY)
             + (((1 << 13) - 1) << _BIN_F)        # chunk-local index
             + (0xF << _BIN_FLAGS)                 # 4 flag bits
-            + (0x7 << _BIN_SB) + (0x7 << _BIN_NSL))
+            + (0x1F << _BIN_SB) + (0x7 << _BIN_NSL))
 
 
 assert _max_bin_entry() < 2 ** 31, (
