@@ -48,10 +48,15 @@ __all__ = ["bin_primitives", "pack_faces", "visibility_pallas",
 # visit's vector work to the face's bbox rows, so taller tiles cut visits
 # (fewer tile-row crossings) and per-tile fixed costs at ZERO extra vector
 # work. MEASURED on the flagship 1024² (round 3): 64 -> 128 -> 256 rows =
-# 94.1 -> 99.3 -> 106.6 fps; 512 exceeds the 16 MB scoped-VMEM limit
-# (the fused kernel's 32-channel G-buffer block alone is 8 MB there).
-# The packed bin-entry slab fields (_BIN_SB/_BIN_NSL below) must track
-# TILE_H: s_base/8 needs log2(TILE_H/8) bits.
+# 94.1 -> 99.3 -> 106.6 fps; past 256 the lever is spent (fused kernel
+# ms/call: 256 5.43, 384 5.40, 512 5.35, 1024 5.29 — p50 face height is
+# 3 px, so few tile crossings remain), while every frame pads its buffers
+# to a TILE_H multiple (a 160² golden doubles its interpret-path work at
+# 512). 256 is the optimum. Heights past 256 compile only with the raised
+# per-kernel VMEM limit (see the pallas_call compiler_params: the scoped
+# default is a 16 MB compiler guard, v5e hardware has 128 MB).
+# The packed bin-entry slab fields (_BIN_SB/_BIN_NSL below) are derived
+# from TILE_H: s_base/8 needs log2(TILE_H/8) bits.
 TILE_H = 256
 TILE_W = 128
 
@@ -83,18 +88,23 @@ def _cdiv(a, b):
 _BIN_KEY = 30
 _BIN_F = 17              # requires FACE_CHUNK <= 2**13
 _BIN_FLAGS = 13
-_BIN_SB = 8              # 5 bits: s_base/8 in 0..31 (TILE_H = 256)
-_BIN_NSL = 5
+# Slab fields are sized from TILE_H so taller tiles stay packable:
+# s_base/8 needs log2(TILE_H/8) bits (5 at TILE_H=256, 6 at 384/512),
+# the count keeps 3 bits with 7 as the "to end of tile" sentinel.
+_SB_BITS = (TILE_H // 8 - 1).bit_length()
+_BIN_SB = _BIN_FLAGS - _SB_BITS
+_BIN_NSL = _BIN_SB - 3
+_SB_MASK = (1 << _SB_BITS) - 1
 _BIN_FMASK = (1 << 13) - 1
+assert _BIN_NSL >= 0, f"TILE_H {TILE_H} slab base overflows the bin entry"
 
 # The maximum composed entry must stay below 2**31 or widened fields would
-# wrap into the sign bit and corrupt the sort order. Current headroom is
-# only 63 (bits 0-5 unused by the face layout): fail loudly at import if
-# any field widens past it.
+# wrap into the sign bit and corrupt the sort order. Bits below _BIN_NSL
+# are unused headroom: fail loudly at import if any field widens past it.
 _MAX_ENTRY = ((1 << _BIN_KEY) | (_BIN_FMASK << _BIN_F)
               | (((1 << (_BIN_F - _BIN_FLAGS)) - 1) << _BIN_FLAGS)
-              | (((1 << (_BIN_FLAGS - _BIN_SB)) - 1) << _BIN_SB)
-              | (7 << _BIN_NSL))      # 3-bit slab count; bits 0-5 unused
+              | (_SB_MASK << _BIN_SB)
+              | (7 << _BIN_NSL))      # 3-bit slab count
 assert _MAX_ENTRY < 2 ** 31, (
     f"packed bin entry may overflow i32: max {_MAX_ENTRY} >= 2^31")
 
@@ -347,7 +357,7 @@ def _decode_bin(e):
     makes revisits idempotent)."""
     f = (e >> _BIN_F) & _BIN_FMASK
     flags = (e >> _BIN_FLAGS) & 0xF
-    s_base = ((e >> _BIN_SB) & 0x1F) << 3
+    s_base = ((e >> _BIN_SB) & _SB_MASK) << 3
     n_slabs = (e >> _BIN_NSL) & 0x7
     return f, flags, s_base, n_slabs
 
@@ -1425,6 +1435,11 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        # The 16 MB scoped-VMEM default is a compiler guard, not hardware:
+        # v5e has 128 MB of VMEM. TILE_H=384 puts this kernel's blocks at
+        # ~19 MB (the 32-channel G-buffer block dominates); raise the limit
+        # so tile height is bounded by measurement, not the default.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2 ** 20),
     )(*inputs)
     zb, tid, gb = outs[:3]
     res = (zb[:height, :width], tid[:height, :width],
@@ -1723,7 +1738,7 @@ def _max_bin_entry():
     return ((1 << _BIN_KEY)
             + (((1 << 13) - 1) << _BIN_F)        # chunk-local index
             + (0xF << _BIN_FLAGS)                 # 4 flag bits
-            + (0x1F << _BIN_SB) + (0x7 << _BIN_NSL))
+            + (_SB_MASK << _BIN_SB) + (0x7 << _BIN_NSL))
 
 
 assert _max_bin_entry() < 2 ** 31, (
@@ -1959,6 +1974,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ],
         interpret=interpret,
+        # TILE_H-sized blocks; see visibility_gbuffer_pallas on the limit.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2 ** 20),
     )(jnp.concatenate(
         [counts.reshape(-1), faces["gid"][0].reshape(1),
          _pad_rows_to(pack_sample_word2(faces), chunk)]
@@ -2348,5 +2365,8 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
             jax.ShapeDtypeStruct((n_gb, hp, wp), jnp.float32),
         ],
         interpret=interpret,
+        # The 32-channel block is TILE_H-sized; see visibility_gbuffer_pallas
+        # on why the 16 MB scoped-VMEM default is raised.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2 ** 20),
     )(counts1, idx, fdata, tid_p)
     return gb[:, :height, :width]
