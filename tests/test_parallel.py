@@ -185,7 +185,7 @@ def test_sharded_two_shape_groups_matches_single_chip(shape):
     dt = np.dtype(np.float32, metadata={"tangent": False})
     for m in cube.materials.values():
         m.map_Kd = np.asarray(rng.random((32, 256, 3)), dtype=dt)
-        m.norm = np.asarray(rng.random((16, 128, 3)) * 2 - 1, dtype=dt)
+        m.norm = np.asarray(rng.random((32, 128, 3)) * 2 - 1, dtype=dt)
     cube.normal_map_is_tangent = False
     cube.bump_version()
     scene.backend = "pallas"

@@ -40,7 +40,7 @@ def test_mismatched_shape_groups():
     rng = np.random.default_rng(0)
     kd = rng.random((32, 256, 3)).astype(np.float32)
     ks = rng.random((32, 256, 3)).astype(np.float32)
-    nm = (rng.random((16, 128, 3)).astype(np.float32) * 2 - 1)
+    nm = (rng.random((32, 128, 3)).astype(np.float32) * 2 - 1)
     dt = np.dtype(np.float32, metadata={"tangent": False})
     for m in cube.materials.values():
         m.map_Kd = np.asarray(kd, dtype=dt)

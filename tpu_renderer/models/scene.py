@@ -98,12 +98,12 @@ def _texture_stack(model: Model, attr: str):
 
 #: Texel-window geometry for the in-kernel texture sampler
 #: (ops/raster_pallas.sample_textures_pallas): (rows, cols) per window.
-_WIN_R = 16
+_WIN_R = 32
 _WIN_C = 128
 
 
 def _window_metadata(uv, shapes, slot_list):
-    """Per-face (16, 128)-texel window grids covering each face's UV bbox.
+    """Per-face (_WIN_R, 128)-texel window grids covering each face's UV bbox.
 
     ``uv``: (F, 3, 2) per-face vertex uv; ``shapes``: (F, 2) float (TH, TW) of
     the face's texture; ``slot_list``: per sampled kind, (F,) material slot
@@ -162,11 +162,12 @@ def _build_window_content(stacks_slots, w_face, w_r0, w_c0, shapes):
     """Slice each window's texels out of the (device) texture stacks.
 
     ``stacks_slots``: per UNION kind, (stack (N, TH, TW) uint32, slot (F,)
-    int32), or None for kinds outside this grid's group (their 16-row plane
+    int32), or None for kinds outside this grid's group (their _WIN_R-row plane
     is zeros — never read: the mask plane only carries bits this grid's
-    kmask sets). Content rows [16k, 16(k+1)) hold union kind k; origins
-    wrap modulo the face's texture shape, with wrap-straddle handled by a
-    (TH+16, TW+128) wrap-pad. Returns (W, 16·K, 128) int32 on device.
+    kmask sets). Content rows [Rk, R(k+1)), R = _WIN_R, hold union kind k;
+    window origins wrap modulo the face's texture shape, with wrap-straddle
+    handled by a (TH+R, TW+128) wrap-pad of each texture slice.
+    Returns (W, R·K, 128) int32 on device.
     """
     import jax
 

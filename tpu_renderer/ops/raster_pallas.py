@@ -1459,8 +1459,10 @@ _S_COLS = 32
 
 
 #: Texel rows per window / per kind plane inside a window-content row block.
-WIN_R = 16
+#: Must match models/scene.py::_WIN_R (the window-grid builder).
+WIN_R = 32
 WIN_C = 128
+_WIN_SHIFT = WIN_R.bit_length() - 1
 
 #: Speculatively prefetched windows per face (covers ~p95 of diablo faces);
 #: ranges beyond SPEC fall back to synchronous per-window DMA.
@@ -1626,7 +1628,7 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
             # unwrapped UV bbox, one period off at most), so one conditional
             # add + two conditional subtracts replace the floor-mod divide —
             # exact integer arithmetic either way.
-            r0 = rbase + (wr << 4)
+            r0 = rbase + (wr << _WIN_SHIFT)
             c0 = cbase + (wc << 7)
             r0 = r0 + th * (r0 < 0)
             c0 = c0 + tw * (c0 < 0)
@@ -1669,7 +1671,7 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     # more than the 0-3 extra inwin-masked visits they could prune.
     # MEASURED (round 3): unrolling the wn == 1 case straight-line gained
     # nothing (faces are mostly wn == 2: a ~15-texel UV bbox anchored at
-    # floor(min)-1 spans two 16-row windows).
+    # floor(min)-1 spans two WIN_R-row windows).
     @pl.when(wn <= _SPEC)
     def _():
         jax.lax.fori_loop(
@@ -1691,8 +1693,8 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
         trmax = jnp.max(jnp.where(win, row, -big))
         tcmin = jnp.min(jnp.where(win, col, big))
         tcmax = jnp.max(jnp.where(win, col, -big))
-        wr0 = jnp.clip((trmin - rb_x) >> 4, 0, nwr_x - 1)
-        wr1 = jnp.clip((trmax - rb_x) >> 4, 0, nwr_x - 1)
+        wr0 = jnp.clip((trmin - rb_x) >> _WIN_SHIFT, 0, nwr_x - 1)
+        wr1 = jnp.clip((trmax - rb_x) >> _WIN_SHIFT, 0, nwr_x - 1)
         wc0 = jnp.clip((tcmin - cb_x) >> 7, 0, nwc_x - 1)
         wc1 = jnp.clip((tcmax - cb_x) >> 7, 0, nwc_x - 1)
         nv = (wr1 - wr0 + 1) * (wc1 - wc0 + 1)
@@ -1780,10 +1782,10 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
 
     Replaces the XLA per-pixel table gathers (~13 ms per million indices on
     TPU — a scalar loop) with kernel-side sampling: each face carries a grid
-    of (16, 128)-texel windows covering its UV bbox (models/scene.py
+    of (WIN_R, 128)-texel windows covering its UV bbox (models/scene.py
     _window_metadata, content pre-sliced from the packed texture stacks);
     per (face, tile) the kernel computes the tile's texel footprint, visits
-    only the windows the footprint intersects, and samples each via a 16-row
+    only the windows the footprint intersects, and samples each via a WIN_R-row
     sweep of single-VREG dynamic lane gathers (tpu.dynamic_gather — the
     only fast lane-crossing data movement on TPU).
 
