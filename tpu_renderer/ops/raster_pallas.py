@@ -1669,9 +1669,10 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     # Fully-speculative faces (the common case: a 1-2 window grid) visit
     # every window — the 4 masked full-reduces of the texel footprint cost
     # more than the 0-3 extra inwin-masked visits they could prune.
-    # MEASURED (round 3): unrolling the wn == 1 case straight-line gained
-    # nothing (faces are mostly wn == 2: a ~15-texel UV bbox anchored at
-    # floor(min)-1 spans two WIN_R-row windows).
+    # MEASURED twice (round 3): unrolling the first visit straight-line
+    # (the _for_each_slab trick) gained zero at 16-row windows (wn mostly
+    # 2) AND at 32-row windows (wn == 1 for ~75% of faces, 5.244 vs 5.255
+    # ms/call) — the visit cost is the spec-DMA wait, not loop overhead.
     @pl.when(wn <= _SPEC)
     def _():
         jax.lax.fori_loop(
