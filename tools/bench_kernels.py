@@ -38,6 +38,7 @@ def main():
 
     scene = build_scene()
     cfg, dyn = scene._prepare()
+    _wg = all(mc.win_grid for mc in cfg.models if mc.win_kinds)
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     H, W = cfg.resolution
     sign = cfg.system
@@ -64,7 +65,8 @@ def main():
     n_kinds = max(len(mc.win_kinds) for mc in cfg.models)
     windows = dyn["windows_all"]
     samp = jax.jit(lambda fc, bn, win, t, gb: rp.sample_textures_pallas(
-        fc, bn[:2], win, t, gb[rp.GB_IU], gb[rp.GB_IV], H, W, n_kinds))
+        fc, bn[:2], win, t, gb[rp.GB_IU], gb[rp.GB_IV], H, W, n_kinds,
+        win_grid=_wg))
     timeit(samp, faces, bins, windows, tid, gbuffer,
            label="sample_textures_pallas")
 

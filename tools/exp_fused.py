@@ -70,7 +70,9 @@ def main():
                           + (jnp.abs(acc) >> 30).astype(jnp.float32))
                 o = rp.visibility_gbuffer_pallas(
                     fc, attrs, H, W, sign, bins=bins, with_tex_tables=False,
-                    windows=windows, n_kinds=n_kinds, mode=mode)
+                    windows=windows, n_kinds=n_kinds, mode=mode,
+                    win_grid=all(mc.win_grid for mc in cfg.models
+                                 if mc.win_kinds))
                 acc = o[1][0, 0]
                 outs.append(o[1][:8, :1])
             return jnp.concatenate(outs)

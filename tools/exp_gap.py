@@ -40,6 +40,7 @@ def main():
 
     scene = build_scene()
     cfg, dyn = scene._prepare()
+    _wg = all(mc.win_grid for mc in cfg.models if mc.win_kinds)
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     sign = cfg.system
     n_kinds = max(len(mc.win_kinds) for mc in cfg.models)
@@ -81,7 +82,8 @@ def main():
                 faces, attrs, bins = setup(d)
                 o = rp.visibility_gbuffer_pallas(
                     faces, attrs, H, W, sign, bins=bins,
-                    with_tex_tables=False, windows=windows, n_kinds=n_kinds)
+                    with_tex_tables=False, windows=windows, n_kinds=n_kinds,
+                    win_grid=_wg)
                 acc = o[1][0, 0]
                 outs.append(o[1][:8, :1])
             return jnp.concatenate(outs)
@@ -99,7 +101,7 @@ def main():
                           + (jnp.abs(acc) >> 30).astype(jnp.float32))
                 o = rp.visibility_gbuffer_pallas(
                     fc, attrs, H, W, sign, bins=bins, with_tex_tables=False,
-                    windows=windows, n_kinds=n_kinds)
+                    windows=windows, n_kinds=n_kinds, win_grid=_wg)
                 acc = o[1][0, 0]
                 outs.append(o[1][:8, :1])
             return jnp.concatenate(outs)

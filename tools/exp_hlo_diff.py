@@ -25,6 +25,7 @@ def main():
 
     scene = build_scene()
     cfg, dyn = scene._prepare()
+    _wg = all(mc.win_grid for mc in cfg.models if mc.win_kinds)
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     sign = cfg.system
     n_kinds = max(len(mc.win_kinds) for mc in cfg.models)
@@ -41,7 +42,7 @@ def main():
 
     def call(faces, attrs, bins):
         return rp.visibility_gbuffer_pallas(
-            faces, attrs, H, W, sign, bins=bins, windows=windows,
+            faces, attrs, H, W, sign, bins=bins, windows=windows, win_grid=_wg,
             n_kinds=n_kinds, with_tex_tables=False)
 
     @jax.jit

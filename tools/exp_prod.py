@@ -28,6 +28,7 @@ def main():
 
     scene = build_scene()
     cfg, dyn = scene._prepare()
+    _wg = all(mc.win_grid for mc in cfg.models if mc.win_kinds)
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     sign = cfg.system
     n_kinds = max(len(mc.win_kinds) for mc in cfg.models)
@@ -70,7 +71,8 @@ def main():
 
     def sampler(r, fc):
         samp, mask = rp.sample_textures_pallas(
-            mix(fc, r), bins, windows, tid, zb_sign, zbuf, H, W, n_kinds)
+            mix(fc, r), bins, windows, tid, zb_sign, zbuf, H, W, n_kinds,
+            win_grid=_wg)
         return mask
 
     def stencil(r, fc):
@@ -87,7 +89,8 @@ def main():
 
     def sampler2(r, fc):
         samp, mask = rp.sample_textures_pallas(
-            mix(fc, r), bins, windows, tid, iu, iv, H, W, n_kinds)
+            mix(fc, r), bins, windows, tid, iu, iv, H, W, n_kinds,
+            win_grid=_wg)
         return mask
 
     run_traced([("fused", fused), ("split", split),

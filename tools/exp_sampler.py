@@ -29,6 +29,7 @@ def main():
 
     scene = build_scene()
     cfg, dyn = scene._prepare()
+    _wg = all(mc.win_grid for mc in cfg.models if mc.win_kinds)
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     sign = cfg.system
     n_kinds = max(len(mc.win_kinds) for mc in cfg.models)
@@ -49,7 +50,8 @@ def main():
     def run(r, mode):
         t = tid + (r >> 30)
         samp, mask = rp.sample_textures_pallas(
-            faces, bins, windows, t, iu, iv, H, W, n_kinds, mode=mode)
+            faces, bins, windows, t, iu, iv, H, W, n_kinds, mode=mode,
+            win_grid=_wg)
         return mask
 
     run_traced_each(

@@ -46,6 +46,7 @@ def main():
 
     scene = build_scene()
     cfg, dyn = scene._prepare()
+    _wg = all(mc.win_grid for mc in cfg.models if mc.win_kinds)
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     H, W = cfg.resolution
     sign = cfg.system
@@ -93,7 +94,8 @@ def main():
     @jax.jit
     def f_samp(fc, bn, win, tid_, gb):
         return rp.sample_textures_pallas(
-            fc, bn[:2], win, tid_, gb[rp.GB_IU], gb[rp.GB_IV], H, W, n_kinds)
+            fc, bn[:2], win, tid_, gb[rp.GB_IU], gb[rp.GB_IV], H, W, n_kinds,
+            win_grid=_wg)
     (samp, samp_mask), t = timeit(
         f_samp, faces, bins, windows, tid, gbuffer, label="texture sampler kernel")
     total += t

@@ -17,6 +17,7 @@ moving the camera/light or animating vertices re-renders without recompiling.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -206,6 +207,110 @@ def _build_window_content(stacks_slots, w_face, w_r0, w_c0, shapes):
     return out.reshape(out.shape[0], _WIN_R * len(padded), _WIN_C)
 
 
+#: Per-model byte budget for the VMEM-resident shared-cell grid (see
+#: raster_pallas: grid mode holds the whole cell table in VMEM next to the
+#: fused kernel's ~10 MB of blocks; v5e has 128 MB of VMEM).
+_GRID_BUDGET = 20 * 2 ** 20
+
+
+def _grid_metadata(uv, shapes, slot_list):
+    """Grid-ALIGNED shared-cell metadata for the VMEM-resident sampler.
+
+    Same per-face texel-bbox semantics as _window_metadata (reference
+    nearest-sample indexing, core.py:138-143), but windows are the cells of
+    a fixed (_WIN_R, _WIN_C)-aligned grid tiling the whole texture, SHARED
+    by every face that samples it — so the content table is one reshape of
+    the texture (no per-face duplication) and the kernel reads cells
+    straight out of VMEM with no DMA (raster_pallas._sample_face_slab grid
+    mode). One full grid per distinct (slot-combination, shape); per-face
+    wbase points at its combo's first cell.
+
+    Returns dict of per-face int32 arrays (wbase, nwr, nwc, rbase, cbase —
+    rbase/cbase are the ALIGNED anchors, kmask, ngrid (F, 2) cell-grid
+    dims) plus ``combos`` [(per-group-kind slots, th, tw)] and
+    ``total_cells``, or None if no face samples anything.
+    """
+    kmask = np.zeros(len(uv), np.int32)
+    for k, slot in enumerate(slot_list):
+        kmask |= (np.asarray(slot) >= 0).astype(np.int32) << k
+    active = kmask > 0
+    if not active.any():
+        return None
+
+    th = np.asarray(shapes[:, 0], np.float64)
+    tw = np.asarray(shapes[:, 1], np.float64)
+    colf = np.minimum(uv[:, :, 0], 1.0) * (tw[:, None] - 1)
+    rowf = (1.0 - np.minimum(uv[:, :, 1], 1.0)) * (th[:, None] - 1)
+    rbase = (np.floor(rowf.min(1)) - 1).astype(np.int64)
+    cbase = (np.floor(colf.min(1)) - 1).astype(np.int64)
+    rmax = (np.floor(rowf.max(1)) + 1).astype(np.int64)
+    cmax = (np.floor(colf.max(1)) + 1).astype(np.int64)
+    gr0 = rbase // _WIN_R                        # floor-aligned grid anchor
+    gc0 = cbase // _WIN_C
+    nwr = np.where(active, rmax // _WIN_R - gr0 + 1, 0).astype(np.int32)
+    nwc = np.where(active, cmax // _WIN_C - gc0 + 1, 0).astype(np.int32)
+    gr0 = np.where(active, gr0, 0).astype(np.int64)
+    gc0 = np.where(active, gc0, 0).astype(np.int64)
+
+    # One grid per distinct (slot-combination, shape) over active faces.
+    slotmat = np.stack([np.asarray(s) for s in slot_list], axis=1)
+    key = np.concatenate(
+        [slotmat.astype(np.int64),
+         np.stack([th, tw], axis=1).astype(np.int64)], axis=1)
+    uniq, inv = np.unique(key[active], axis=0, return_inverse=True)
+    combo = np.zeros(len(uv), np.int64)
+    combo[active] = inv
+    ngr_c = -(-uniq[:, -2] // _WIN_R)
+    ngc_c = -(-uniq[:, -1] // _WIN_C)
+    cells = ngr_c * ngc_c
+    base_c = np.concatenate([[0], np.cumsum(cells)[:-1]])
+    wbase = np.where(active, base_c[combo], 0).astype(np.int32)
+    ngrid = np.zeros((len(uv), 2), np.int32)
+    ngrid[active] = np.stack(
+        [ngr_c[combo[active]], ngc_c[combo[active]]], axis=1)
+    return {
+        "wbase": wbase, "nwr": nwr, "nwc": nwc,
+        "rbase": (gr0 * _WIN_R).astype(np.int32),
+        "cbase": (gc0 * _WIN_C).astype(np.int32),
+        "kmask": kmask, "ngrid": ngrid,
+        "combos": [(uniq[i, :-2], int(uniq[i, -2]), int(uniq[i, -1]))
+                   for i in range(len(uniq))],
+        "total_cells": int(cells.sum()),
+    }
+
+
+def _build_grid_content(stacks_slots, group_kinds, union, combos):
+    """Cell tables for every combo of one group, on device.
+
+    ``stacks_slots``: per UNION kind, (stack (N, TH, TW) uint32, slot) or
+    None outside this group (zero planes, never read — kmask gating).
+    Each combo's grid is the whole padded texture reshaped into
+    (_WIN_R, _WIN_C) cells — a transpose, not a per-window gather.
+    Returns (total_cells, _WIN_R·K, _WIN_C) int32.
+    """
+    parts = []
+    for slots, th_c, tw_c in combos:
+        ngr = -(-th_c // _WIN_R)
+        ngc = -(-tw_c // _WIN_C)
+        kparts = []
+        for k, entry in zip(union, stacks_slots):
+            s = (int(slots[group_kinds.index(k)])
+                 if k in group_kinds else -1)
+            if entry is None or s < 0:
+                kparts.append(
+                    jnp.zeros((ngr * ngc, _WIN_R, _WIN_C), jnp.int32))
+                continue
+            stack, _ = entry
+            tex = jnp.asarray(stack).astype(jnp.int32)[s, :th_c, :tw_c]
+            tex = jnp.pad(tex, ((0, ngr * _WIN_R - th_c),
+                                (0, ngc * _WIN_C - tw_c)))
+            kparts.append(
+                tex.reshape(ngr, _WIN_R, ngc, _WIN_C)
+                .transpose(0, 2, 1, 3).reshape(ngr * ngc, _WIN_R, _WIN_C))
+        parts.append(jnp.concatenate(kparts, axis=1))
+    return jnp.concatenate(parts, axis=0)
+
+
 class Scene:
     def __init__(self, camera: Optional[Camera] = None,
                  light: Optional[Light] = None, shadows: bool = False,
@@ -377,6 +482,7 @@ class Scene:
         # positions in the UNION tuple (group 1 kinds first).
         win_kinds: tuple = ()
         win2 = False
+        win_grid = False
         num_windows = 0
         if model.uv is not None and F > 0:
             present = [k for k in ("kd", "norm", "ks")
@@ -403,14 +509,38 @@ class Scene:
                       if _grp_ok(g)][:2]
             # Metadata first (a group none of the faces sample drops out),
             # THEN the union fixes plane/bit positions for both grids.
+            # Prefer the shared-cell grid layout (VMEM-resident, no DMA in
+            # the kernel) whenever every combo's texture fits the wordg
+            # bit budget (<= 4096 texels/axis, raster_pallas.GRID_TH_MAX)
+            # and the cell tables fit the VMEM byte budget; else fall back
+            # to the per-face speculative-DMA window layout.
+            use_grid = os.environ.get("TPU_RENDERER_WIN_GRID", "1") != "0"
             metas = []
-            for group in groups:
-                shapes = st_by_kind[group[0]][2][mtl]  # (F, 2) float
-                meta = _window_metadata(
-                    uv[:F], shapes,
-                    [st_by_kind[k][1][mtl] for k in group])
-                if meta is not None:
-                    metas.append((group, shapes, meta))
+            if use_grid:
+                for group in groups:
+                    shapes = st_by_kind[group[0]][2][mtl]  # (F, 2) float
+                    meta = _grid_metadata(
+                        uv[:F], shapes,
+                        [st_by_kind[k][1][mtl] for k in group])
+                    if meta is not None:
+                        metas.append((group, shapes, meta))
+                union_n = max(sum(len(g) for g, _, _ in metas), 1)
+                total_cells = sum(m["total_cells"] for _, _, m in metas)
+                use_grid = bool(metas) and all(
+                    th_c <= 4096 and tw_c <= 4096
+                    for _, _, m in metas
+                    for _, th_c, tw_c in m["combos"]) and (
+                    total_cells * _WIN_R * union_n * _WIN_C * 4
+                    <= _GRID_BUDGET)
+            if not use_grid:
+                metas = []
+                for group in groups:
+                    shapes = st_by_kind[group[0]][2][mtl]
+                    meta = _window_metadata(
+                        uv[:F], shapes,
+                        [st_by_kind[k][1][mtl] for k in group])
+                    if meta is not None:
+                        metas.append((group, shapes, meta))
             union = [k for g, _, _ in metas for k in g]
             parts = []
             for gi, (group, shapes, meta) in enumerate(metas):
@@ -425,15 +555,24 @@ class Scene:
                     _pad_rows(meta["wbase"] + num_windows, Fp))
                 packet[f"{pre}thw"] = jnp.asarray(
                     _pad_rows(shapes.astype(np.int32), Fp))
-                parts.append(_build_window_content(
-                    [(st_by_kind[k][0], st_by_kind[k][1][mtl])
-                     if k in group else None for k in union],
-                    meta["w_face"], meta["w_r0"], meta["w_c0"], shapes))
-                num_windows += len(meta["w_face"])
+                stacks_slots = [(st_by_kind[k][0], st_by_kind[k][1][mtl])
+                                if k in group else None for k in union]
+                if use_grid:
+                    packet[f"{pre}ngrid"] = jnp.asarray(
+                        _pad_rows(meta["ngrid"], Fp))
+                    parts.append(_build_grid_content(
+                        stacks_slots, group, union, meta["combos"]))
+                    num_windows += meta["total_cells"]
+                else:
+                    parts.append(_build_window_content(
+                        stacks_slots, meta["w_face"], meta["w_r0"],
+                        meta["w_c0"], shapes))
+                    num_windows += len(meta["w_face"])
                 if gi == 0:
                     win_kinds = tuple(union)
                 else:
                     win2 = True
+            win_grid = use_grid and bool(win_kinds)
             if parts:
                 packet["windows"] = (parts[0] if len(parts) == 1
                                      else jnp.concatenate(parts, axis=0))
@@ -445,6 +584,9 @@ class Scene:
             for name in ("wbase", "nwr", "nwc", "rbase", "cbase", "kmask"):
                 packet[f"win2_{name}"] = jnp.zeros(Fp, jnp.int32)
             packet["win2_thw"] = jnp.ones((Fp, 2), jnp.int32)
+        for pre in ("win_", "win2_"):
+            if f"{pre}ngrid" not in packet:
+                packet[f"{pre}ngrid"] = jnp.ones((Fp, 2), jnp.int32)
 
         packet["_config"] = ModelConfig(
             num_faces=Fp, clip=model.clip, depth_test=model.depth_test,
@@ -452,7 +594,7 @@ class Scene:
             has_uv=model.uv is not None, has_map_kd=flags["kd"],
             has_map_ks=flags["ks"], has_norm=flags["norm"],
             num_edges=et.num_edges, win_kinds=win_kinds,
-            num_windows=num_windows, win2=win2,
+            num_windows=num_windows, win2=win2, win_grid=win_grid,
         )
         self._packets[key] = packet
         return packet

@@ -67,6 +67,11 @@ class ModelConfig:
     #: group 1's, e.g. a normal map sized unlike the diffuse map); the
     #: kernels compile the group-2 sampling pass + per-kind write gating.
     win2: bool = False
+    #: Window table uses the shared-cell grid layout (grid-aligned cells of
+    #: the whole texture, VMEM-resident in the kernels — no speculative
+    #: DMA). All textured models in a scene must agree (scene falls back to
+    #: the XLA gather path on a mix). num_windows counts cells in this mode.
+    win_grid: bool = False
 
 
 @dataclass(frozen=True)
@@ -163,6 +168,8 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
         raster["wcbase2"] = md["win2_cbase"]
         raster["wkmask2"] = md["win2_kmask"]
         raster["wthw2"] = md["win2_thw"]
+        raster["wngrid"] = md["win_ngrid"]
+        raster["wngrid2"] = md["win2_ngrid"]
         win_offset += mc.num_windows
 
         attrs = {
@@ -562,6 +569,14 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     use_tex_kernel = (cfg.tex_kernel if cfg.tex_kernel is not None
                       else height * width >= 512 * 512)
     samp = samp_mask = None
+    # Window-table layout must be uniform across the scene's textured
+    # models (one shared table, one kernel mode): all shared-cell grid
+    # (VMEM-resident, the default) or all per-face DMA windows. A mix
+    # (e.g. one model's texture exceeds the grid budget) falls back to the
+    # XLA gather path — bit-identical, slower.
+    _texm = [mc for mc in cfg.models if mc.win_kinds]
+    win_grid = bool(_texm) and all(mc.win_grid for mc in _texm)
+    grid_mixed = any(mc.win_grid for mc in _texm) and not win_grid
 
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
     rows_only = axis_tris is None
@@ -590,7 +605,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         # The in-kernel sampler rides its per-face scalars in SMEM (word2);
         # huge textured meshes fall back to the XLA gather path rather than
         # overflow scalar memory.
-        sampler_on = (n_kinds > 0 and use_tex_kernel
+        sampler_on = (n_kinds > 0 and use_tex_kernel and not grid_mixed
                       and faces["sx"].shape[0] <= 32768)
         # With the windowed sampler active, every windowed kind skips the
         # XLA gather, so phase 1 needn't interpolate the slot/shape table
@@ -615,9 +630,9 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                     if not mc.win_kinds:
                         continue
                     w = md["windows"]
-                    if w.shape[1] < 16 * n_kinds:
+                    if w.shape[1] < rp.WIN_R * n_kinds:
                         w = jnp.pad(
-                            w, ((0, 0), (0, 16 * n_kinds - w.shape[1]),
+                            w, ((0, 0), (0, rp.WIN_R * n_kinds - w.shape[1]),
                                 (0, 0)))
                     parts.append(w)
                 # _SPEC tail rows: the sampler prefetches speculative window
@@ -633,7 +648,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
             bins=bins[:2], with_tex_tables=needs_tables,
             windows=windows, n_kinds=n_kinds if windows is not None else 0,
-            row0=row0, two_groups=any(mc.win2 for mc in cfg.models))
+            row0=row0, two_groups=any(mc.win2 for mc in cfg.models),
+            win_grid=win_grid)
         if sampler_on:
             zb_sign, tid, gbuffer, samp, samp_mask = outs
         else:
@@ -686,7 +702,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 # ids are unique): zero-filled partials sum to the merge.
                 gbuffer = jax.lax.psum(gbuffer, axis_tris)
             if use_gbuffer and n_kinds > 0 and use_tex_kernel \
-                    and faces["sx"].shape[0] <= 32768:
+                    and not grid_mixed and faces["sx"].shape[0] <= 32768:
                 # Windowed sampling over the merged buffers: each shard
                 # samples only the pixels its own faces won (win = tid ==
                 # global id), so zero-filled partial samp/mask planes psum
@@ -699,7 +715,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                         faces, bins[:2], windows, tid, gbuffer[GB_IU],
                         gbuffer[GB_IV], local_height, width, n_kinds,
                         interpret=cfg.pallas_interpret,
-                        two_groups=any(mc.win2 for mc in cfg.models))
+                        two_groups=any(mc.win2 for mc in cfg.models),
+                        win_grid=win_grid)
                     if axis_tris:
                         samp = jax.lax.psum(samp, axis_tris)
                         samp_mask = jax.lax.psum(samp_mask, axis_tris)

@@ -1097,12 +1097,13 @@ def _gb_interp_face(co, X, rows, cols, put, with_tex_tables):
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
                                    "interpret", "with_tex_tables", "n_kinds",
-                                   "mode", "gb_layout", "two_groups"))
+                                   "mode", "gb_layout", "two_groups",
+                                   "win_grid"))
 def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                               with_debug=False, interpret=False, bins=None,
                               with_tex_tables=True, windows=None, n_kinds=0,
                               mode="full", row0=0, gb_layout="general",
-                              two_groups=False):
+                              two_groups=False, win_grid=False):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -1176,7 +1177,13 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     fdata = _pad_cols_128(fdata)
 
     def kernel(counts_ref, idx_ref, fdata_ref, *rest):
-        if sampling:
+        if sampling and win_grid:
+            # Shared-cell mode: the whole window-cell table is a resident
+            # VMEM input block (constant index map -> fetched once); no
+            # speculative DMA machinery at all.
+            (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
+             mask_ref) = rest
+        elif sampling:
             (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
              mask_ref, spec, sync, sems, sems2, sem_sync) = rest
         else:
@@ -1206,6 +1213,19 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 mask_ref[:] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
 
         if sampling:
+            w2base = n_chunks * n_ty * n_tx + 2 + c * chunk
+            # word3 (second grid) rides after the full word2 block; the
+            # grid-mode word-g blocks follow whatever word2/3 blocks exist.
+            w3base = w2base + n_chunks * chunk
+            wgbase = w2base + n_chunks * chunk * (2 if two_groups else 1)
+            wg2base = wgbase + n_chunks * chunk
+        if sampling and win_grid:
+            def prefetch(k, buf):
+                pass
+
+            def drain(buf, w2):
+                pass
+        elif sampling:
             # Speculative window DMA, split in two: most faces have a 1-2
             # window grid, so the first pair copies unconditionally and the
             # second pair only when wn > 2 — ~halves the speculative HBM
@@ -1220,10 +1240,6 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 return pltpu.make_async_copy(
                     win_hbm.at[pl.ds(wb + _SPEC // 2, _SPEC // 2)],
                     spec.at[buf, _SPEC // 2:_SPEC], sems2.at[buf])
-
-            w2base = n_chunks * n_ty * n_tx + 2 + c * chunk
-            # word3 (second grid) rides after the full word2 block.
-            w3base = w2base + n_chunks * chunk
 
             def prefetch(k, buf):
                 fp = (idx_ref[0, 0, k, 0] >> _BIN_F) & _BIN_FMASK
@@ -1275,7 +1291,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
         @pl.when(phase & _dbg_p1)
         def _():
-            if sampling and _dbg_samp:
+            if sampling and _dbg_samp and not win_grid:
                 @pl.when(count > 0)
                 def _():
                     prefetch(0, 0)
@@ -1286,13 +1302,18 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 buf = jax.lax.rem(k, 2)
                 if sampling and _dbg_samp:
                     w2 = counts_ref[w2base + f]
-                    # Start face k+1's speculative windows, then drain this
-                    # face's (same double-buffer protocol as the standalone
-                    # sampler kernel).
-                    @pl.when(k + 1 < count)
-                    def _():
-                        prefetch(k + 1, 1 - buf)
-                    drain(buf, w2)
+                    if win_grid:
+                        wg = counts_ref[wgbase + f]
+                        wg2 = (counts_ref[wg2base + f] if two_groups
+                               else None)
+                    else:
+                        # Start face k+1's speculative windows, then drain
+                        # this face's (same double-buffer protocol as the
+                        # standalone sampler kernel).
+                        @pl.when(k + 1 < count)
+                        def _():
+                            prefetch(k + 1, 1 - buf)
+                        drain(buf, w2)
                 co = _face_row(fdata_ref, f, (_FSLAB, TILE_W))
 
                 def slab(s0):
@@ -1317,6 +1338,14 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                         iu_val, iv_val = _gb_interp_face(
                             co, X, rows, cols_s, put, with_tex_tables)
                         if sampling and _dbg_samp and _dbg_visit:
+                            _spec, _sync, _ssem = (
+                                (None, None, None) if win_grid
+                                else (spec, sync, sem_sync))
+                            _rb = (jnp.int32(0) if win_grid
+                                   else co(X2 + 2).astype(jnp.int32))
+                            _cb = (jnp.int32(0) if win_grid
+                                   else co(X2 + 3).astype(jnp.int32))
+
                             @pl.when((w2 & 7) > 0)
                             def _():
                                 _sample_face_slab(
@@ -1325,18 +1354,25 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                                     (w2 >> _W2_NWC) & 7, w2 & 7,
                                     co(X2).astype(jnp.int32),
                                     co(X2 + 1).astype(jnp.int32),
-                                    co(X2 + 2).astype(jnp.int32),
-                                    co(X2 + 3).astype(jnp.int32),
+                                    _rb, _cb,
                                     buf, s0, win, iu_val,
-                                    iv_val, spec, sync, sem_sync, win_hbm,
+                                    iv_val, _spec, _sync, _ssem, win_hbm,
                                     samp_ref, mask_ref, n_kinds,
-                                    sweep=_dbg_sweep, kind_gate=two_groups)
+                                    sweep=_dbg_sweep, kind_gate=two_groups,
+                                    grid=((win_hbm, wg) if win_grid
+                                          else None))
                             if two_groups:
                                 # Second shape-group grid: synchronous
                                 # window DMA only (spec_n=0 — the
                                 # speculative buffer holds grid 1), its own
                                 # footprint columns, per-kind write gating.
+                                # In grid mode it reads the shared cell
+                                # table like group 1, via its own word-g.
                                 w3 = counts_ref[w3base + f]
+                                _rb2 = (jnp.int32(0) if win_grid
+                                        else co(X2 + 6).astype(jnp.int32))
+                                _cb2 = (jnp.int32(0) if win_grid
+                                        else co(X2 + 7).astype(jnp.int32))
 
                                 @pl.when((w3 & 7) > 0)
                                 def _():
@@ -1346,16 +1382,17 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                                         (w3 >> _W2_NWC) & 7, w3 & 7,
                                         co(X2 + 4).astype(jnp.int32),
                                         co(X2 + 5).astype(jnp.int32),
-                                        co(X2 + 6).astype(jnp.int32),
-                                        co(X2 + 7).astype(jnp.int32),
+                                        _rb2, _cb2,
                                         buf, s0, win, iu_val,
-                                        iv_val, spec, sync, sem_sync,
+                                        iv_val, _spec, _sync, _ssem,
                                         win_hbm, samp_ref, mask_ref,
                                         n_kinds, sweep=_dbg_sweep,
                                         spec_n=0,
                                         cols_fp=(_S2_NWR, _S2_NWC,
                                                  _S2_RB, _S2_CB),
-                                        kind_gate=True)
+                                        kind_gate=True,
+                                        grid=((win_hbm, wg2) if win_grid
+                                              else None))
                 _for_each_slab(s_base, n_slabs, slab)
                 return 0
 
@@ -1394,6 +1431,11 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         tail.append(word2)
         if two_groups:
             tail.append(word3)
+        if win_grid:
+            tail.append(_pad_rows_to(pack_sample_wordg(faces), chunk))
+            if two_groups:
+                tail.append(
+                    _pad_rows_to(pack_sample_wordg(faces, grid=2), chunk))
     counts1 = jnp.concatenate(tail)
     inputs = [counts1, idx, fdata]
     if sampling:
@@ -1401,7 +1443,13 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
             pl.BlockSpec((chunk, _S_COLS),
                          lambda ty, tx, st, s: (phase_fold(st), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),        # windows (HBM)
+            # Shared-cell grid mode: the whole cell table is one VMEM block
+            # with a constant index map — fetched once per kernel call,
+            # then every visit reads its cell directly (no DMAs). The DMA
+            # mode streams windows from HBM instead.
+            (pl.BlockSpec(windows.shape, lambda ty, tx, st, s: (0, 0, 0),
+                          memory_space=pltpu.VMEM) if win_grid
+             else pl.BlockSpec(memory_space=pl.ANY)),
         ]
         out_specs += [
             pl.BlockSpec((n_kinds, TILE_H, TILE_W),
@@ -1415,13 +1463,14 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 (n_kinds, n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
             jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
         ]
-        scratch_shapes = [
-            pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
-            pltpu.VMEM((wrows, WIN_C), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ]
+        if not win_grid:
+            scratch_shapes = [
+                pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
+                pltpu.VMEM((wrows, WIN_C), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ]
         inputs += [sdata, windows]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1438,8 +1487,11 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         # The 16 MB scoped-VMEM default is a compiler guard, not hardware:
         # v5e has 128 MB of VMEM. TILE_H=384 puts this kernel's blocks at
         # ~19 MB (the 32-channel G-buffer block dominates); raise the limit
-        # so tile height is bounded by measurement, not the default.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2 ** 20),
+        # so tile height is bounded by measurement, not the default. The
+        # shared-cell grid mode adds the resident window-cell table (up to
+        # ~17 MB on the flagship, budget-capped in models/scene.py).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(80 if win_grid else 48) * 2 ** 20),
     )(*inputs)
     zb, tid, gb = outs[:3]
     res = (zb[:height, :width], tid[:height, :width],
@@ -1479,7 +1531,7 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
                       cbase, buf, s0, win, iu_s, iv_s, spec, sync,
                       sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
                       sweep=True, spec_n=_SPEC, cols_fp=(2, 3, 7, 8),
-                      kind_gate=False):
+                      kind_gate=False, grid=None):
     """Window visits + gather sweep for one face over one winning pixel slab.
 
     Half-slab dispatch: a face's winners occupy ~1%% of a (16, 128) slab
@@ -1494,9 +1546,15 @@ def _sample_face_slab(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     windows are never speculatively resident — every visit uses the
     synchronous DMA), its own sdata footprint columns, and kind_gate=True
     so each grid writes only its own kmask bits' planes.
+
+    ``grid`` = (win_ref, wordg) selects the VMEM-resident shared-cell path
+    (see pack_sample_wordg): windows are grid-aligned cells of the whole
+    texture held resident in VMEM, each visit computes its wrapped cell
+    index from the packed wordg scalars and reads the cell directly —
+    no DMA start/wait at all (the spec/sync/buf arguments are unused).
     """
     extra = dict(sweep=sweep, spec_n=spec_n, cols_fp=cols_fp,
-                 kind_gate=kind_gate)
+                 kind_gate=kind_gate, grid=grid)
     if _SLAB == 16:
         lo = jnp.any(win[0:8, :])
         hi = jnp.any(win[8:16, :])
@@ -1539,7 +1597,7 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
                  cbase, buf, s0, win, iu_s, iv_s, spec, sync,
                  sem_sync, win_hbm, samp_ref, mask_ref, n_kinds,
                  slab, sweep=True, spec_n=_SPEC, cols_fp=(2, 3, 7, 8),
-                 kind_gate=False):
+                 kind_gate=False, grid=None):
     """Window visits + gather sweep over a (slab, 128) winner block.
 
     Shared by the standalone sampler kernel and the fused
@@ -1560,6 +1618,14 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     thf = th.astype(jnp.float32)
     twf = tw.astype(jnp.float32)
     wn_spec = jnp.minimum(wn, spec_n)
+    if grid is not None:
+        # Shared-cell mode: unpack the per-face grid scalars once per slab
+        # (cheap SREG bit ops; see pack_sample_wordg for the layout).
+        win_ref, wordg = grid
+        g_gr0 = ((wordg >> _WG_GR0) & 0x1FF) - _WG_GR0_OFF
+        g_gc0 = ((wordg >> _WG_GC0) & 0x7F) - _WG_GC0_OFF
+        g_ngr = (wordg >> _WG_NGR) & 0xFF
+        g_ngc = wordg & 0x3F
 
     # Single-period negative wrap (numpy fancy-indexing semantics): legal
     # reference UVs put the truncated index in (-dim, dim), where one
@@ -1622,6 +1688,28 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
         two scalar branches per visit from the hot loop."""
         def visit(v, carry):
             wr, wc = carry
+            if grid is not None:
+                # Shared-cell visit: wrap the UNWRAPPED grid coordinate into
+                # the texture's cell grid in the scalar domain (same
+                # conditional add/sub idiom as the vector path below), then
+                # read the cell straight out of the VMEM-resident table.
+                # rel coords need no content-wrap correction: cells tile the
+                # texture exactly, so a wrapped texel row/col lands in
+                # exactly one cell at rel in [0, WIN_R/WIN_C).
+                gr = g_gr0 + wr
+                gc = g_gc0 + wc
+                gr = gr + g_ngr * (gr < 0)
+                gr = gr - g_ngr * (gr >= g_ngr)
+                gr = gr - g_ngr * (gr >= g_ngr)
+                gc = gc + g_ngc * (gc < 0)
+                gc = gc - g_ngc * (gc >= g_ngc)
+                gc = gc - g_ngc * (gc >= g_ngc)
+                rel_r = row - (gr << _WIN_SHIFT)
+                rel_c = col - (gc << 7)
+                process_window(win_ref[wb + gr * g_ngc + gc], rel_r, rel_c)
+                wc2 = jnp.where(wc + 1 > wc_hi, wc_lo, wc + 1)
+                wr2 = jnp.where(wc + 1 > wc_hi, wr + 1, wr)
+                return (wr2, wc2)
             off = wr * nwc_x + wc
             # Window texel origin, wrapped into the texture. The origin
             # sits in (-dim, 3*dim) (scene._window_metadata anchors on the
@@ -1673,7 +1761,11 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
     # (the _for_each_slab trick) gained zero at 16-row windows (wn mostly
     # 2) AND at 32-row windows (wn == 1 for ~75% of faces, 5.244 vs 5.255
     # ms/call) — the visit cost is the spec-DMA wait, not loop overhead.
-    @pl.when(wn <= _SPEC)
+    # Grid mode has no speculative set: direct visits up to the word-g
+    # saturation (wn == 7 is ambiguous — footprint path re-reads exact).
+    _direct = 6 if grid is not None else _SPEC
+
+    @pl.when(wn <= _direct)
     def _():
         jax.lax.fori_loop(
             0, wn,
@@ -1681,7 +1773,7 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
                      fetch="spec" if spec_n == _SPEC else "sync"),
             (0, 0))
 
-    @pl.when(wn > _SPEC)
+    @pl.when(wn > _direct)
     def _():
         # Slab texel footprint (winning pixels) -> the window subgrid it
         # intersects. Exact grid scalars from the sdata table (rare path).
@@ -1725,6 +1817,37 @@ def pack_sample_word2(faces, grid=1):
     nwc = jnp.minimum(faces[f"wnwc{sfx}"], 7)
     return (faces[f"wkmask{sfx}"] | (wn << _W2_WN) | (nwc << _W2_NWC)
             | (faces[f"wbase{sfx}"] << _W2_WB)).astype(jnp.int32)
+
+
+# Shared-cell sampler word-g (SMEM, grid mode): the scalars a grid visit
+# needs to map a face-local (wr, wc) to a global cell index. Fields:
+#   [29:21] gr0 + 192 (aligned unwrapped grid row of the face's bbox — the
+#           anchor sits in [-ngr-1, ngr], ngr <= 128 under the 4096-row
+#           eligibility cap, so +192 keeps it in 9 unsigned bits),
+#   [20:14] gc0 + 64 (ngc <= 32 under the 4096-col cap -> 7 bits),
+#   [13:6]  ngr (texture cell-grid rows), [5:0] ngc (cell-grid cols).
+# The cell base rides in word2's wb field (cell units instead of window
+# rows); wn/nwc keep their meaning (face's cell-span, saturated at 7).
+_WG_GR0, _WG_GR0_OFF = 21, 192
+_WG_GC0, _WG_GC0_OFF = 14, 64
+_WG_NGR = 6
+
+#: Texture-shape eligibility cap for the shared-cell grid path: the wordg
+#: bit budget above (and scalar wrap arithmetic) assumes ngr <= 128 cell
+#: rows and ngc <= 32 cell cols.
+GRID_TH_MAX = 128 * WIN_R        # 4096
+GRID_TW_MAX = 32 * WIN_C         # 4096
+
+
+def pack_sample_wordg(faces, grid=1):
+    """faces dict -> (G,) i32 shared-cell grid scalars (see _WG_*)."""
+    sfx = "" if grid == 1 else "2"
+    gr0 = faces[f"wrbase{sfx}"] >> _WIN_SHIFT     # aligned -> exact
+    gc0 = faces[f"wcbase{sfx}"] >> 7
+    ngrid = faces[f"wngrid{sfx}"]
+    return (((gr0 + _WG_GR0_OFF) << _WG_GR0)
+            | ((gc0 + _WG_GC0_OFF) << _WG_GC0)
+            | (ngrid[:, 0] << _WG_NGR) | ngrid[:, 1]).astype(jnp.int32)
 
 
 def _check_pack_limits(n):
@@ -1775,10 +1898,10 @@ def _pad2d(a, hp, wp, fill):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "n_kinds", "interpret",
-                                   "mode", "two_groups"))
+                                   "mode", "two_groups", "win_grid"))
 def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                            n_kinds, interpret=False, mode="full",
-                           two_groups=False):
+                           two_groups=False, win_grid=False):
     """Per-pixel nearest texture sampling from per-face texel windows.
 
     Replaces the XLA per-pixel table gathers (~13 ms per million indices on
@@ -1817,8 +1940,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
     wrows = windows.shape[1]            # 16 * n_kinds
 
     def kernel(counts_ref, idx_ref, sdata_ref, win_hbm, tid_ref, iu_ref,
-               iv_ref, samp_ref, mask_ref, spec, sync, sems, sems2,
-               sem_sync):
+               iv_ref, samp_ref, mask_ref, spec=None, sync=None, sems=None,
+               sems2=None, sem_sync=None):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
@@ -1826,6 +1949,8 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         gid0k = counts_ref[n_chunks * n_ty * n_tx] + c * chunk
         w2base = n_chunks * n_ty * n_tx + 1 + c * chunk
         w3base = w2base + n_chunks * chunk   # second grid's word3 block
+        wgbase = w2base + n_chunks * chunk * (2 if two_groups else 1)
+        wg2base = wgbase + n_chunks * chunk
 
         @pl.when(c == 0)
         def _():
@@ -1846,7 +1971,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                 win_hbm.at[pl.ds(wb + _SPEC // 2, _SPEC // 2)],
                 spec.at[buf, _SPEC // 2:_SPEC], sems2.at[buf])
 
-        _dbg_dma = mode not in ("nodma", "noscan")
+        _dbg_dma = (mode not in ("nodma", "noscan")) and not win_grid
         _dbg_sweep = mode not in ("nosweep", "noscan")
         _dbg_scan = mode != "noscan"
 
@@ -1859,9 +1984,10 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             def _():
                 spec_dma_hi(buf, w2p >> _W2_WB).start()
 
-        @pl.when((count > 0) & _dbg_dma)
-        def _():
-            prefetch(0, 0)
+        if not win_grid:
+            @pl.when((count > 0) & _dbg_dma)
+            def _():
+                prefetch(0, 0)
 
         def body(k, _):
             buf = jax.lax.rem(k, 2)
@@ -1871,10 +1997,10 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             kmask = w2 & 7
 
             # Start face k+1's speculative windows, then drain this face's.
-            @pl.when((k + 1 < count) & _dbg_dma)
-            def _():
-                prefetch(k + 1, 1 - buf)
             if _dbg_dma:
+                @pl.when(k + 1 < count)
+                def _():
+                    prefetch(k + 1, 1 - buf)
                 spec_dma_lo(buf, w2 >> _W2_WB).wait()
 
                 @pl.when(((w2 >> _W2_WN) & 7) > _SPEC // 2)
@@ -1900,6 +2026,11 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                         iu_s = iu_ref[pl.ds(s0, _SLAB), :]
                         iv_s = iv_ref[pl.ds(s0, _SLAB), :]
 
+                        _rb = (jnp.int32(0) if win_grid
+                               else sdata_ref[f, 7])
+                        _cb = (jnp.int32(0) if win_grid
+                               else sdata_ref[f, 8])
+
                         @pl.when(kmask > 0)
                         def _():
                             _sample_face_slab(
@@ -1907,12 +2038,19 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                                 (w2 >> _W2_WN) & 7,
                                 (w2 >> _W2_NWC) & 7, kmask,
                                 sdata_ref[f, 5], sdata_ref[f, 6],
-                                sdata_ref[f, 7], sdata_ref[f, 8],
+                                _rb, _cb,
                                 buf, s0, win, iu_s, iv_s, spec,
                                 sync, sem_sync, win_hbm, samp_ref, mask_ref,
                                 n_kinds, sweep=_dbg_sweep,
-                                kind_gate=two_groups)
+                                kind_gate=two_groups,
+                                grid=((win_hbm, counts_ref[wgbase + f])
+                                      if win_grid else None))
                         if two_groups:
+                            _rb2 = (jnp.int32(0) if win_grid
+                                    else sdata_ref[f, _S2_RB])
+                            _cb2 = (jnp.int32(0) if win_grid
+                                    else sdata_ref[f, _S2_CB])
+
                             @pl.when((w3 & 7) > 0)
                             def _():
                                 _sample_face_slab(
@@ -1921,15 +2059,16 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                                     (w3 >> _W2_NWC) & 7, w3 & 7,
                                     sdata_ref[f, _S2_TH],
                                     sdata_ref[f, _S2_TW],
-                                    sdata_ref[f, _S2_RB],
-                                    sdata_ref[f, _S2_CB],
+                                    _rb2, _cb2,
                                     buf, s0, win, iu_s, iv_s, spec,
                                     sync, sem_sync, win_hbm, samp_ref,
                                     mask_ref, n_kinds, sweep=_dbg_sweep,
                                     spec_n=0,
                                     cols_fp=(_S2_NWR, _S2_NWC,
                                              _S2_RB, _S2_CB),
-                                    kind_gate=True)
+                                    kind_gate=True,
+                                    grid=((win_hbm, counts_ref[wg2base + f])
+                                          if win_grid else None))
 
                 if _dbg_scan:
                     _for_each_slab(s_base, n_slabs, slab_body)
@@ -1946,7 +2085,10 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, _S_COLS), lambda ty, tx, c, s: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),        # windows (HBM)
+            # windows: VMEM-resident cell table (grid mode) or HBM (DMA).
+            (pl.BlockSpec(windows.shape, lambda ty, tx, c, s: (0, 0, 0),
+                          memory_space=pltpu.VMEM) if win_grid
+             else pl.BlockSpec(memory_space=pl.ANY)),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
@@ -1961,14 +2103,24 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
+        scratch_shapes=([] if win_grid else [
             pltpu.VMEM((2, _SPEC, wrows, WIN_C), jnp.int32),
             pltpu.VMEM((wrows, WIN_C), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ]),
     )
+    smem_tail = [counts.reshape(-1), faces["gid"][0].reshape(1),
+                 _pad_rows_to(pack_sample_word2(faces), chunk)]
+    if two_groups:
+        smem_tail.append(_pad_rows_to(pack_sample_word2(faces, grid=2),
+                                      chunk))
+    if win_grid:
+        smem_tail.append(_pad_rows_to(pack_sample_wordg(faces), chunk))
+        if two_groups:
+            smem_tail.append(
+                _pad_rows_to(pack_sample_wordg(faces, grid=2), chunk))
     samp, mask = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1978,12 +2130,9 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
         ],
         interpret=interpret,
         # TILE_H-sized blocks; see visibility_gbuffer_pallas on the limit.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2 ** 20),
-    )(jnp.concatenate(
-        [counts.reshape(-1), faces["gid"][0].reshape(1),
-         _pad_rows_to(pack_sample_word2(faces), chunk)]
-        + ([_pad_rows_to(pack_sample_word2(faces, grid=2), chunk)]
-           if two_groups else [])),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(80 if win_grid else 48) * 2 ** 20),
+    )(jnp.concatenate(smem_tail),
       idx, sdata, windows, tid_p, iu_p, iv_p)
     return samp[:, :height, :width], mask[:height, :width]
 

@@ -47,9 +47,9 @@ _FACE_KEYS = ("vid", "pad_valid", "uv", "kd", "ks", "ns", "pm", "pr", "ka",
               # windowed-sampler metadata (per face; the content table
               # "windows" replicates — the sampler runs single-chip only)
               "win_wbase", "win_nwr", "win_nwc", "win_rbase", "win_cbase",
-              "win_kmask", "win_thw",
+              "win_kmask", "win_thw", "win_ngrid",
               "win2_wbase", "win2_nwr", "win2_nwc", "win2_rbase",
-              "win2_cbase", "win2_kmask", "win2_thw")
+              "win2_cbase", "win2_kmask", "win2_thw", "win2_ngrid")
 #: Incidence arrays sharded along the (3 * faces) axis.
 _INC_KEYS = ("inc_edge", "inc_dir", "inc_valid")
 
