@@ -66,7 +66,41 @@ def test_cube_kd_ks_windows():
                  resolution=(192, 192), system=tr.SYSTEM.LH,
                  subsystem=tr.SUBSYSTEM.OPENGL, backend="pallas")
     s.add_model(cube)
+    assert s._prepare()[0].models[0].win_grid, "grid layout expected"
     _compare(s, [("kd", "ks")])
+
+
+def test_dma_window_fallback_matches(monkeypatch):
+    """The per-face DMA window layout (the fallback for textures past the
+    shared-cell grid's 4096-texel/VMEM budget, forced here via
+    TPU_RENDERER_WIN_GRID=0) must stay bit-compatible with both the XLA
+    gather path and the default grid layout."""
+    monkeypatch.setenv("TPU_RENDERER_WIN_GRID", "0")
+
+    def build():
+        cube = tr.Model.load_model(f"{BASE}/obj_loader_test/cube.obj")
+        cam = tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60, near=0.01,
+                        far=50)
+        s = tr.Scene(cam, tr.Light((3, 4, 2), ambient_strength=0.2),
+                     resolution=(192, 192), system=tr.SYSTEM.LH,
+                     subsystem=tr.SUBSYSTEM.OPENGL, backend="pallas")
+        s.add_model(cube)
+        return s
+
+    s = build()
+    cfg, dyn = s._prepare()
+    assert not cfg.models[0].win_grid, "env override ignored"
+    f_dma = np.asarray(
+        render_frame(dataclasses.replace(cfg, tex_kernel=True), dyn)[0])
+    _compare(s, [("kd", "ks")])          # DMA layout vs XLA gather
+
+    monkeypatch.setenv("TPU_RENDERER_WIN_GRID", "1")
+    s2 = build()
+    cfg2, dyn2 = s2._prepare()
+    assert cfg2.models[0].win_grid
+    f_grid = np.asarray(
+        render_frame(dataclasses.replace(cfg2, tex_kernel=True), dyn2)[0])
+    np.testing.assert_array_equal(f_dma, f_grid)
 
 
 @pytest.mark.slow
