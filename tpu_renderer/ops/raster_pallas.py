@@ -48,17 +48,27 @@ __all__ = ["bin_primitives", "pack_faces", "visibility_pallas",
 # visit's vector work to the face's bbox rows, so taller tiles cut visits
 # (fewer tile-row crossings) and per-tile fixed costs at ZERO extra vector
 # work. MEASURED on the flagship 1024² (round 3): 64 -> 128 -> 256 rows =
-# 94.1 -> 99.3 -> 106.6 fps; past 256 the lever is spent (fused kernel
-# ms/call: 256 5.43, 384 5.40, 512 5.35, 1024 5.29 — p50 face height is
-# 3 px, so few tile crossings remain), while every frame pads its buffers
-# to a TILE_H multiple (a 160² golden doubles its interpret-path work at
-# 512). 256 is the optimum. Heights past 256 compile only with the raised
-# per-kernel VMEM limit (see the pallas_call compiler_params: the scoped
-# default is a 16 MB compiler guard, v5e hardware has 128 MB).
-# The packed bin-entry slab fields (_BIN_SB/_BIN_NSL below) are derived
-# from TILE_H: s_base/8 needs log2(TILE_H/8) bits.
-TILE_H = 256
+# 94.1 -> 99.3 -> 106.6 fps; with the VMEM-resident grid sampler the
+# lever extends all the way (bench 256/512/1024 = 122.9/127.1/128.9 fps),
+# so the tile height is PER-FRAME (_tile_h): one tile row up to
+# TILE_H_MAX for big frames, frame-height tiles for small ones (no
+# padding: a 160² golden keeps 160-row tiles). Tall tiles compile only
+# with the raised per-kernel VMEM limit (see the pallas_call
+# compiler_params: the scoped default is a 16 MB compiler guard, v5e
+# hardware has 128 MB). The packed bin-entry slab fields
+# (_BIN_SB/_BIN_NSL below) are sized STATICALLY for TILE_H_MAX:
+# s_base/8 needs log2(TILE_H_MAX/8) bits.
+TILE_H_MAX = int(__import__("os").environ.get("TILE_H", 1024))  # env: exp
+#: Back-compat alias: the tallest tile any frame uses (tools/tests import
+#: TILE_H to size scratch); per-call heights come from _tile_h(height).
+TILE_H = TILE_H_MAX
 TILE_W = 128
+
+
+def _tile_h(height):
+    """Per-frame face-kernel tile height: the whole frame up to TILE_H_MAX,
+    rounded up to a slab multiple (16) so slab windows stay aligned."""
+    return min(TILE_H_MAX, max(16, -(-height // 16) * 16))
 
 # Float payload layout for faces (pack_faces):
 #   [0:9] affine barycentric/z coefficients (av bv cv aw bw cw az bz cz),
@@ -88,15 +98,16 @@ def _cdiv(a, b):
 _BIN_KEY = 30
 _BIN_F = 17              # requires FACE_CHUNK <= 2**13
 _BIN_FLAGS = 13
-# Slab fields are sized from TILE_H so taller tiles stay packable:
-# s_base/8 needs log2(TILE_H/8) bits (5 at TILE_H=256, 6 at 384/512),
+# Slab fields are sized from TILE_H_MAX so every per-frame tile height
+# packs identically: s_base/8 needs log2(TILE_H_MAX/8) bits (7 at 1024),
 # the count keeps 3 bits with 7 as the "to end of tile" sentinel.
-_SB_BITS = (TILE_H // 8 - 1).bit_length()
+_SB_BITS = (TILE_H_MAX // 8 - 1).bit_length()
 _BIN_SB = _BIN_FLAGS - _SB_BITS
 _BIN_NSL = _BIN_SB - 3
 _SB_MASK = (1 << _SB_BITS) - 1
 _BIN_FMASK = (1 << 13) - 1
-assert _BIN_NSL >= 0, f"TILE_H {TILE_H} slab base overflows the bin entry"
+assert _BIN_NSL >= 0, \
+    f"TILE_H_MAX {TILE_H_MAX} slab base overflows the bin entry"
 
 # The maximum composed entry must stay below 2**31 or widened fields would
 # wrap into the sign bit and corrupt the sort order. Bits below _BIN_NSL
@@ -109,7 +120,7 @@ assert _MAX_ENTRY < 2 ** 31, (
     f"packed bin entry may overflow i32: max {_MAX_ENTRY} >= 2^31")
 
 
-def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
+def bin_primitives(bbox, active, height, width, tile_h=None, tile_w=TILE_W,
                    edge_coeffs=None, row0=0, flags=None):
     """Tile/primitive intersection lists.
 
@@ -129,6 +140,8 @@ def bin_primitives(bbox, active, height, width, tile_h=TILE_H, tile_w=TILE_W,
     single-chip), only the tile windows shift.
     """
     n = bbox.shape[0]
+    if tile_h is None:
+        tile_h = _tile_h(height)
     n_ty = _cdiv(height, tile_h)
     n_tx = _cdiv(width, tile_w)
     ty = jnp.arange(n_ty)
@@ -362,19 +375,22 @@ def _decode_bin(e):
     return f, flags, s_base, n_slabs
 
 
-def _for_each_slab(s_base, n_slabs, fn):
+def _for_each_slab(s_base, n_slabs, fn, tile_h=None):
     """Run ``fn(s0)`` for each _FSLAB-row slab of a face's bbox in the tile.
 
     Binned faces touch >= 1 slab, and (p50 bbox height 3 px) almost always
     exactly one: the first slab runs straight-line — a fori_loop iteration
     costs ~70 cycles, a taken-false pl.when far less — with branches only
     for the 2nd and the rare 3rd+. A saturated 3-bit count (7, see
-    bin_primitives) means "through the end of the tile"."""
-    n_eff = jnp.where(n_slabs >= 7, (TILE_H - s_base) >> _FSLAB_SHIFT,
+    bin_primitives) means "through the end of the tile" (``tile_h``, the
+    caller's per-frame tile height)."""
+    if tile_h is None:
+        tile_h = TILE_H_MAX
+    n_eff = jnp.where(n_slabs >= 7, (tile_h - s_base) >> _FSLAB_SHIFT,
                       n_slabs)
 
     def at(si):
-        fn(jnp.minimum(s_base + si * _FSLAB, TILE_H - _FSLAB))
+        fn(jnp.minimum(s_base + si * _FSLAB, tile_h - _FSLAB))
 
     at(0)
 
@@ -482,6 +498,7 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
+    TILE_H = _tile_h(height)
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     # row0 and the chunk-0 gid ride at the tail of the scalar-prefetch
@@ -534,7 +551,7 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
 
                 _visit_claim(fdata_ref, f, flags, rows, cols_s,
                              with_debug, apply)
-            _for_each_slab(s_base, n_slabs, slab)
+            _for_each_slab(s_base, n_slabs, slab, tile_h=TILE_H)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -1143,6 +1160,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
+    TILE_H = _tile_h(height)
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     X = base_cols                                  # extra-column base offset
@@ -1278,7 +1296,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
                     _visit_claim(fdata_ref, f, flags, rows,
                                  cols_s, with_debug, apply)
-                _for_each_slab(s_base, n_slabs, slab)
+                _for_each_slab(s_base, n_slabs, slab, tile_h=TILE_H)
                 return 0
 
             jax.lax.fori_loop(0, count, body, 0)
@@ -1393,7 +1411,7 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                                         kind_gate=True,
                                         grid=((win_hbm, wg2) if win_grid
                                               else None))
-                _for_each_slab(s_base, n_slabs, slab)
+                _for_each_slab(s_base, n_slabs, slab, tile_h=TILE_H)
                 return 0
 
             jax.lax.fori_loop(0, count, gbody, 0)
@@ -1931,6 +1949,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)   # matches face_bins
     sdata = _pad_rows_to(pack_sample_faces(faces), chunk)
     n_chunks = sdata.shape[0] // chunk
+    TILE_H = _tile_h(height)
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
@@ -2071,7 +2090,7 @@ def sample_textures_pallas(faces, bins, windows, tid, iu, iv, height, width,
                                           if win_grid else None))
 
                 if _dbg_scan:
-                    _for_each_slab(s_base, n_slabs, slab_body)
+                    _for_each_slab(s_base, n_slabs, slab_body, tile_h=TILE_H)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -2220,6 +2239,7 @@ def lines_pallas(ldata, bbox, active, coeffs, zbuf, height, width,
     coeffs = tuple(_pad_rows_to(c, chunk) for c in coeffs)
     e = ldata.shape[0]
     n_chunks = e // chunk
+    TILE_H = _tile_h(height)
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
@@ -2332,6 +2352,7 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
+    TILE_H = _tile_h(height)
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
@@ -2373,7 +2394,7 @@ def tidpass_pallas(faces, zb_final_sign, height, width, sign,
 
                 _visit_claim(fdata_ref, f, flags, rows, cols_s,
                              with_debug, apply)
-            _for_each_slab(s_base, n_slabs, slab)
+            _for_each_slab(s_base, n_slabs, slab, tile_h=TILE_H)
             return 0
 
         jax.lax.fori_loop(0, count, body, 0)
@@ -2437,6 +2458,7 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
     else:
         counts, idx = bins
     n_chunks = fdata.shape[0] // chunk
+    TILE_H = _tile_h(height)
     n_ty = _cdiv(height, TILE_H)
     n_tx = _cdiv(width, TILE_W)
     hp, wp = n_ty * TILE_H, n_tx * TILE_W
@@ -2486,7 +2508,7 @@ def gbuffer_pallas(faces, attrs, tid, height, width, with_debug=False,
                     else:
                         _gb_interp_face(co, X, rows, cols_s, put,
                                         with_tex_tables)
-            _for_each_slab(s_base, n_slabs, slab)
+            _for_each_slab(s_base, n_slabs, slab, tile_h=TILE_H)
             return 0
 
         jax.lax.fori_loop(0, count, gbody, 0)
