@@ -77,3 +77,23 @@ def test_pallas_chunked_faces_matches_xla(scene, monkeypatch):
     stx, stp = np.asarray(xla_out[3]), np.asarray(pallas_out[3])
     np.testing.assert_array_equal(stx, stp)
     assert ((fx == fp).all(axis=-1)).mean() >= 0.999
+
+
+def test_pallas_odd_resolution_matches_xla():
+    """Frame heights that are not slab multiples (raster_pallas._tile_h
+    rounds the per-frame tile height up to 16): outputs must slice back to
+    the exact resolution and stay identical to the XLA path."""
+    cube = make_cube(1.0)
+    s = tr.Scene(tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60,
+                           near=0.01, far=50),
+                 tr.Light((3, 4, 2), ambient_strength=0.2),
+                 resolution=(100, 104), system=tr.SYSTEM.LH,
+                 subsystem=tr.SUBSYSTEM.OPENGL)
+    s.add_model(cube)
+    cfg, dyn = s._prepare()
+    xla_out = render_frame_jit(cfg, dyn)
+    cfg_p = dataclasses.replace(cfg, backend="pallas", pallas_interpret=True)
+    pallas_out = render_frame_jit(cfg_p, dyn)
+    fx, fp = np.asarray(xla_out[0]), np.asarray(pallas_out[0])
+    assert fx.shape == (100, 104, 3)
+    np.testing.assert_array_equal(fx, fp)
