@@ -70,6 +70,29 @@ def test_cube_kd_ks_windows():
     _compare(s, [("kd", "ks")])
 
 
+def test_tiny_texture_samples_in_kernel():
+    """Maps smaller than one (32, 128) window sample in-kernel under the
+    shared-cell grid layout (cells zero-pad past the texture edge; wrapped
+    texel coords land in exactly one cell) — the old per-face DMA layout
+    required at least one full window and fell back to the XLA gather."""
+    cube = tr.Model.load_model(f"{BASE}/obj_loader_test/cube.obj")
+    rng = np.random.default_rng(1)
+    kd = rng.random((8, 16, 3)).astype(np.float32)
+    dt = np.dtype(np.float32, metadata={"tangent": False})
+    for m in cube.materials.values():
+        m.map_Kd = np.asarray(kd, dtype=dt)
+        m.map_Ks = None
+    cam = tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60, near=0.01,
+                    far=50)
+    s = tr.Scene(cam, tr.Light((3, 4, 2), ambient_strength=0.2),
+                 resolution=(192, 192), system=tr.SYSTEM.LH,
+                 subsystem=tr.SUBSYSTEM.OPENGL, backend="pallas")
+    s.add_model(cube)
+    cfg, _ = s._prepare()
+    assert cfg.models[0].win_grid, "tiny texture should take the grid path"
+    _compare(s, [("kd",)])
+
+
 def test_dma_window_fallback_matches(monkeypatch):
     """The per-face DMA window layout (the fallback for textures past the
     shared-cell grid's 4096-texel/VMEM budget, forced here via

@@ -500,13 +500,15 @@ class Scene:
                     groups.append([k])
 
             def _grp_ok(g):
-                # v1 sampler needs at least one full window inside the map.
+                # The per-face DMA window layout needs at least one full
+                # window inside the map; the shared-cell grid handles any
+                # shape (cells zero-pad, wrapped texel coords land in
+                # exactly one cell at rel in [0, dim)).
                 shp = st_by_kind[g[0]][2][mtl]
                 return (shp[:, 0].min() >= _WIN_R
                         and shp[:, 1].min() >= _WIN_C)
 
-            groups = [g for g in sorted(groups, key=len, reverse=True)
-                      if _grp_ok(g)][:2]
+            groups = sorted(groups, key=len, reverse=True)[:2]
             # Metadata first (a group none of the faces sample drops out),
             # THEN the union fixes plane/bit positions for both grids.
             # Prefer the shared-cell grid layout (VMEM-resident, no DMA in
@@ -535,6 +537,8 @@ class Scene:
             if not use_grid:
                 metas = []
                 for group in groups:
+                    if not _grp_ok(group):
+                        continue
                     shapes = st_by_kind[group[0]][2][mtl]
                     meta = _window_metadata(
                         uv[:F], shapes,
