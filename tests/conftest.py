@@ -61,6 +61,7 @@ class ReferenceModules:
         import triangular                          # noqa: F401
         import cube_map                            # noqa: F401
         import frustums                            # noqa: F401
+        import obj.line as line                    # noqa: F401
         from obj.lightning import Lightning        # noqa: F401
 
         self.constants = constants
@@ -70,6 +71,7 @@ class ReferenceModules:
         self.triangular = triangular
         self.cube_map = cube_map
         self.frustums = frustums
+        self.line = line
         self.Lightning = Lightning
 
 

@@ -57,6 +57,50 @@ def test_light_gizmo_added():
     assert frame.std() > 0
 
 
+def test_draw_line_matches_reference(reference):
+    """ops/lines.py draw_line vs the executed reference (line.py:19-50):
+    identical frame and z-buffer writes for segments that exercise the
+    inverse-viewport clip test, the z test, and the +-1px AA half-blend.
+    The reference itself never calls draw_line, but it is exported API here."""
+    import types
+
+    from tpu_renderer.ops.lines import draw_line
+
+    res = (96, 96)
+    cam = tr.Camera((0, 0, 5), center=(0, 0, 0), fovy=60, near=0.1, far=50)
+    tr.Scene(cam, tr.Light((1, 1, 1)), resolution=res, system=tr.SYSTEM.RH,
+             subsystem=tr.SUBSYSTEM.OPENGL)
+    m = {k: np.asarray(v, np.float64) for k, v in cam._matrices().items()}
+
+    ref_cam = types.SimpleNamespace(
+        viewport=m["viewport"], scene=types.SimpleNamespace(resolution=res))
+
+    # Screen-space segments (x, y, z, w): fully inside, z-blocked in a band,
+    # partially outside the frustum (clip-test rejects the tail), zero length.
+    segments = [
+        (np.array([70.0, 20.0, 0.4, 1.0]), np.array([15.0, 80.0, 0.6, 1.0])),
+        (np.array([10.0, 48.0, 0.5, 1.0]), np.array([90.0, 50.0, 0.5, 1.0])),
+        (np.array([50.0, 5.0, 0.2, 1.0]), np.array([50.0, 140.0, 0.9, 1.0])),
+        (np.array([33.0, 33.0, 0.5, 1.0]), np.array([33.0, 33.0, 0.5, 1.0])),
+    ]
+
+    frame_ours = np.zeros((*res, 3))
+    zb_ours = np.full(res, np.inf)
+    frame_ref = np.zeros((*res, 3))
+    zb_ref = np.full(res, np.inf)
+    # A near-z band blocks part of the second segment.
+    zb_ours[45:55, 30:60] = 0.1
+    zb_ref[45:55, 30:60] = 0.1
+
+    for a, b in segments:
+        draw_line(a, b, m, res, zb_ours, frame_ours)
+        reference.line.draw_line(a, b, ref_cam, zb_ref, frame_ref)
+
+    assert frame_ours.max() > 0            # something was drawn
+    np.testing.assert_array_equal(frame_ours, frame_ref)
+    np.testing.assert_array_equal(zb_ours, zb_ref)
+
+
 @pytest.mark.parametrize("shader", ["wireframe", "points"])
 def test_device_debug_shaders_match_host(shader):
     """The device wireframe/points path (pipeline.render_debug_frame: Pallas

@@ -87,6 +87,55 @@ def test_supersampling_smooths_edges():
     assert u2 > u1
 
 
+def test_supersample_warns_when_ignored():
+    """SSAA silently composing with neither debug shaders nor the debug-camera
+    overlay was a trap (scene.py render() gate) — it must warn."""
+    scene = _scene("wireframe")
+    scene.supersample = 2
+    with pytest.warns(RuntimeWarning, match="supersample"):
+        scene.render()
+
+    scene2 = _scene("general")
+    scene2.supersample = 2
+    scene2.debug_camera = tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60,
+                                    near=0.01, far=50)
+    with pytest.warns(RuntimeWarning, match="debug-camera"):
+        scene2.render()
+
+
+@pytest.mark.slow
+def test_supersample_512():
+    """512^2 SSAA: edges smooth (strictly more distinct colors), while pure-
+    background regions bit-match the ss=1 render (a box filter of a constant
+    is the constant)."""
+    def build(ss):
+        cube = make_cube(1.0)
+        floor = make_floor(2.0, y=-0.6)
+        scene = tr.Scene(tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60,
+                                   near=0.01, far=50, backface_culling=True),
+                         tr.Light((3, 4, 2), ambient_strength=0.1),
+                         resolution=(512, 512), system=tr.SYSTEM.RH,
+                         subsystem=tr.SUBSYSTEM.OPENGL, shader="general",
+                         supersample=ss)
+        scene.add_model(cube)
+        scene.add_model(floor)
+        return scene
+
+    f1 = build(1).render()
+    f2 = build(2).render()
+    assert f2.shape == f1.shape
+    # Pure-background pixels (background everywhere in a corner block well
+    # away from the geometry) are bit-identical.
+    np.testing.assert_array_equal(f1[:40, :40], f2[:40, :40])
+    # Edge smoothing: the supersampled frame has strictly more unique colors.
+    u1 = len(np.unique(f1.reshape(-1, 3), axis=0))
+    u2 = len(np.unique(f2.reshape(-1, 3), axis=0))
+    assert u2 > u1
+    # And the two frames agree almost everywhere (SSAA only moves edges).
+    same = (f1.astype(np.int32) - f2.astype(np.int32))
+    assert (np.abs(same).max(axis=-1) <= 2).mean() > 0.97
+
+
 def test_wireframe_draws_in_lh_system():
     """Regression: wireframe compared RAW viewport z against the LINEARIZED
     z-buffer; with LH (background -inf blocks background draws) the strict

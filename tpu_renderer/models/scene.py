@@ -723,6 +723,18 @@ class Scene:
     def render(self) -> np.ndarray:
         """Render one frame; returns (H, W, 3) uint8, same as core.py:587-640."""
         ss = self.supersample
+        if ss > 1 and (self.shader in ("wireframe", "points")
+                       or self.debug_camera is not None):
+            # Supersampling composes with neither the debug shaders (their
+            # pixel splats are resolution-exact, not shade-averaged) nor the
+            # host-side frustum overlay (drawn at native resolution on the
+            # pre-flip frame). Warn instead of silently dropping the kwarg.
+            import warnings
+            reason = ("wireframe/points shader" if self.shader in
+                      ("wireframe", "points") else "debug-camera overlay")
+            warnings.warn(
+                f"supersample={ss} is ignored with a {reason}; rendering at "
+                "native resolution", RuntimeWarning, stacklevel=2)
         if ss > 1 and self.shader not in ("wireframe", "points") \
                 and self.debug_camera is None:
             h, w = self.resolution
@@ -775,6 +787,11 @@ class Scene:
         (core.py:634-636). Returns a list of dicts of ints; each dict also
         carries ``by_error``, the same discard counters keyed by the
         reference's :class:`tpu_renderer.Errors` flags (triangular.py:15-20).
+
+        NOTE: this is a debug helper that runs a SECOND device pass — it
+        re-packs the scene and recomputes the whole vertex stage
+        (pipeline.face_statistics) against the cached visibility buffer.
+        Don't call it inside a hot render loop.
         """
         if self.last_tid is None:
             raise RuntimeError("render() must run before stats()")
