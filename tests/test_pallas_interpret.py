@@ -79,6 +79,30 @@ def test_pallas_chunked_faces_matches_xla(scene, monkeypatch):
     assert ((fx == fp).all(axis=-1)).mean() >= 0.999
 
 
+def test_visibility_want_tid_false(scene):
+    """want_tid=False (tris-sharded pass 1, pipeline.py): the z-buffer is
+    bit-identical to the full kernel's while the tid plane — ~1/3 of each
+    visit's stores — is never written (returns None)."""
+    import jax.numpy as jnp
+
+    from tpu_renderer.ops.pipeline import _build_face_batch, _cam_matrices
+    from tpu_renderer.ops.raster_pallas import face_bins, visibility_pallas
+
+    cfg, dyn = scene._prepare()
+    cam_m = _cam_matrices(cfg, dyn["camera"], cfg.cam_projection_type)
+    faces, _ = _build_face_batch(cfg, dyn, cam_m, None)
+    h, w = cfg.resolution
+    bins = face_bins(faces, h, w)
+    zb_full, tid = visibility_pallas(faces, h, w, cfg.system, interpret=True,
+                                     bins=bins[:2])
+    zb_only, no_tid = visibility_pallas(faces, h, w, cfg.system,
+                                        interpret=True, bins=bins[:2],
+                                        want_tid=False)
+    assert no_tid is None
+    assert tid is not None and np.asarray(tid).max() >= 0
+    np.testing.assert_array_equal(np.asarray(zb_full), np.asarray(zb_only))
+
+
 def test_pallas_odd_resolution_matches_xla():
     """Frame heights that are not slab multiples (raster_pallas._tile_h
     rounds the per-frame tile height up to 16): outputs must slice back to

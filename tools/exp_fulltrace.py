@@ -57,14 +57,16 @@ def main():
     rows = summarize_device_trace(logdir)
     tot = 0.0
     by_src = {}
+    names = {}
     for ms, name, src in rows:
         tot += ms / REPS
         key = src or name.split(".")[0]
         by_src[key] = by_src.get(key, 0.0) + ms / REPS
+        names.setdefault(key, name.split(".")[0])
     for key, ms in sorted(by_src.items(), key=lambda kv: -kv[1]):
-        if ms < 0.05:
+        if ms < 0.01:
             continue
-        print(f"{ms:8.3f} ms  {key[:90]}")
+        print(f"{ms:8.3f} ms  {key[:70]}  [{names[key][:40]}]")
     print(f"{tot:8.3f} ms TOTAL device")
 
 

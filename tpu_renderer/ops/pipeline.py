@@ -665,10 +665,12 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         # irreducible: winner ids are only meaningful against the GLOBAL
         # z-buffer, which exists only after the pmin, and the G-buffer can
         # only interpolate against the global ids after the pmax — each
-        # collective is a data dependency no kernel fusion can cross. The
-        # one real waste is tid_local (computed by visibility_pallas and
-        # discarded when axis_tris is set): ~1/3 of pass 1's per-visit
-        # stores. Unverifiable on a 1-chip host; revisit with real ICI.
+        # collective is a data dependency no kernel fusion can cross.
+        # When axis_tris is set, pass 1 runs with want_tid=False: local
+        # winner ids are meaningless before the pmin merge (tidpass_pallas
+        # re-claims them against the global buffer), so the kernel skips
+        # the tid output plane and its per-visit store (~1/3 of pass 1's
+        # stores, SURVEY §5.8).
         from tpu_renderer.ops.raster_pallas import (face_bins, gbuffer_pallas,
                                                     tidpass_pallas,
                                                     visibility_pallas)
@@ -677,7 +679,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         zb_local, tid_local = visibility_pallas(
             faces, local_height, width, sign,
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
-            bins=bins[:2], row0=row0)
+            bins=bins[:2], row0=row0, want_tid=axis_tris is None)
         if axis_tris:
             zb_sign = jax.lax.pmin(zb_local, axis_tris)
             # Re-claim against the merged buffer (a shard's local winner can

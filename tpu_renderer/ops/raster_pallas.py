@@ -474,9 +474,9 @@ def face_bins(faces, height, width, row0=0, with_debug=False, exact=True):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
-                                   "interpret"))
+                                   "interpret", "want_tid"))
 def visibility_pallas(faces, height, width, sign, with_debug=False,
-                      interpret=False, bins=None, row0=0):
+                      interpret=False, bins=None, row0=0, want_tid=True):
     """Tile-binned visibility resolve. Returns (zbuf sign-space, tid).
 
     Face tables stream through the kernel in FACE_CHUNK slices (grid dim 2) so
@@ -487,6 +487,13 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
     ``row0`` (traced) shifts the tile grid into the global frame for
     row-sharded rendering; pixel math stays in global coordinates, so shards
     are bit-identical to the matching single-chip rows.
+
+    ``want_tid=False`` drops the tid plane entirely (returns (zbuf, None)):
+    the tris-sharded pipeline discards the local winner ids — ids are only
+    meaningful against the pmin-merged GLOBAL z-buffer, which tidpass_pallas
+    re-claims after the collective (pipeline.py) — so pass 1 skips the tid
+    output block and its per-visit store (~1/3 of each visit's stores,
+    SURVEY §5.8).
     """
     fdata = pack_faces(faces, with_debug)
     g0 = fdata.shape[0]
@@ -508,7 +515,7 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
                                jnp.asarray(row0, jnp.int32).reshape(1),
                                faces["gid"][0].reshape(1)])
 
-    def kernel(counts_ref, idx_ref, fdata_ref, zb_ref, tid_ref):
+    def kernel(counts_ref, idx_ref, fdata_ref, zb_ref, tid_ref=None):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         c = pl.program_id(2)
@@ -525,7 +532,8 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
         @pl.when(c == 0)
         def _():
             zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
-            tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+            if tid_ref is not None:
+                tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
 
         def body(k, _):
             # Single incremental pass: a claim against the *running* z-buffer
@@ -544,8 +552,9 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
                     zs = z * sign
                     zb_s = zb_ref[pl.ds(s0, _FSLAB), :]
                     upd = cov & (zb_s >= zs)
-                    tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
-                        upd, gid, tid_ref[pl.ds(s0, _FSLAB), :])
+                    if tid_ref is not None:
+                        tid_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
+                            upd, gid, tid_ref[pl.ds(s0, _FSLAB), :])
                     zb_ref[pl.ds(s0, _FSLAB), :] = jnp.where(
                         upd & ((flags & 4) > 0), zs, zb_s)
 
@@ -556,6 +565,9 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
 
         jax.lax.fori_loop(0, count, body, 0)
 
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
+                             memory_space=pltpu.VMEM)
+    tile_shape = (n_ty * TILE_H, n_tx * TILE_W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_ty, n_tx, n_chunks),
@@ -567,22 +579,20 @@ def visibility_pallas(faces, height, width, sign, with_debug=False,
                          lambda ty, tx, c, s: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, c, s: (ty, tx),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[tile_spec, tile_spec] if want_tid else [tile_spec],
     )
-    zb, tid = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(tile_shape, jnp.float32)]
+    if want_tid:
+        out_shape.append(jax.ShapeDtypeStruct(tile_shape, jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((n_ty * TILE_H, n_tx * TILE_W), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(counts1, idx, fdata)
+    if not want_tid:
+        return outs[0][:height, :width], None
+    zb, tid = outs
     return zb[:height, :width], tid[:height, :width]
 
 
