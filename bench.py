@@ -193,16 +193,20 @@ def _bench_scene(name, scene, n=15, animate=None):
     # rounds 1+ on the same input buffers), which once mis-read as a
     # "config 1 collapsed to 31 fps" regression.
     rounds = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         frames = [step(dyn, positions[i]) for i in range(n)]
         np.asarray(frames[-1][:8, :128])
         rounds.append((time.time() - t0) / n)
     fps = 1.0 / min(rounds)
     faces = sum(m.num_faces for m in scene.models)
+    # Per-round fps recorded so contention (isolated slow rounds under the
+    # time-shared TPU) is distinguishable from systematic regressions (all
+    # rounds slow) when comparing artifacts round-over-round.
     row = {"config": name, "fps": round(fps, 2),
-           "median_fps": round(1.0 / sorted(rounds)[1], 2),
-           "mtri_per_s": round(faces * fps / 1e6, 3)}
+           "median_fps": round(1.0 / sorted(rounds)[len(rounds) // 2], 2),
+           "mtri_per_s": round(faces * fps / 1e6, 3),
+           "round_fps": [round(1.0 / r, 1) for r in rounds]}
     print(json.dumps(row))
     return row
 

@@ -75,9 +75,41 @@ def test_golden_orthographic(reference):
     # corners exactly ON the clip planes, so the overlay's clip decisions
     # are sign-marginal and must run in f64 like the reference
     # (frustums.py). With the f64 overlay path: 0.9957 within ±2, mean
-    # 0.077; the remainder is the usual f32 coverage/shadow-edge class.
-    compare(scene.render(), ref_scene.render(), "ortho", good_frac=0.995,
-            mean_tol=0.2)
+    # 0.077.
+    #
+    # The remaining 97/22500 pixels are CLASSIFIED (round 4, exp_ortho):
+    # all 97 on geometry; 87 are shadow-stencil tie flips (ours ambient
+    # [33,33,33] vs ref lit or vice versa) on the shadow-quad boundary
+    # bands, 67 on silhouette (tid) edges. Ortho maps the whole mesh to a
+    # nearly constant linearized depth (z = -0.0116 +- 1e-5 at every bad
+    # pixel, near=|position|, far=400), so the quad-vs-surface depth test
+    # margin sits below f32 epsilon where the reference computes it in f64
+    # (core.py:590) — a tie-break class, not a shading error. The
+    # assertion below pins that bound: every deviating pixel must lie on a
+    # tid edge, a shadow boundary, or inside the shadow band.
+    ours = scene.render()
+    ref = ref_scene.render()
+    compare(ours, ref, "ortho", good_frac=0.995, mean_tol=0.2)
+
+    B = 5
+    bad = (np.abs(ours[B:-B, B:-B].astype(np.int32) -
+                  ref[B:-B, B:-B].astype(np.int32)).max(-1) > 2)
+    tid = np.asarray(scene.last_tid)[::-1][B:-B, B:-B]
+    stencil = np.asarray(scene.last_stencil)[::-1][B:-B, B:-B]
+
+    def boundary(m):
+        e = np.zeros_like(m, bool)
+        e[1:] |= m[1:] != m[:-1]
+        e[:-1] |= m[:-1] != m[1:]
+        e[:, 1:] |= m[:, 1:] != m[:, :-1]
+        e[:, :-1] |= m[:, :-1] != m[:, 1:]
+        return e
+
+    allowed = boundary(tid) | boundary(stencil > 0) | (stencil > 0)
+    stray = bad & ~allowed
+    assert stray.sum() <= 3, (
+        f"{stray.sum()} deviating pixels outside the edge/shadow tie-flip "
+        f"classes at {np.argwhere(stray)[:5]}")
 
 
 def test_golden_mtl_cube(reference):
