@@ -22,7 +22,13 @@ def main():
     from bench import build_scene
     from tpu_renderer.ops import pipeline as pp
 
-    scene = build_scene()
+    if "--highpoly" in sys.argv:
+        from exp_highpoly import build_highpoly_scene
+        n = int(sys.argv[sys.argv.index("--highpoly") + 1])
+        scene = build_highpoly_scene(
+            n, shadows="--no-shadows" not in sys.argv)
+    else:
+        scene = build_scene()
     cfg, dyn = scene._prepare()
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
 

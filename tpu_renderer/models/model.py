@@ -282,6 +282,53 @@ class Model:
         """Mark this model's packed device data stale (see Scene._pack_model)."""
         self._version += 1
 
+    @classmethod
+    def concat(cls, models: List["Model"]) -> "Model":
+        """Merge instanced copies of ONE mesh into a single Model.
+
+        The TPU-native instancing primitive: N separate models unroll N
+        vertex stages / silhouette reductions in the jitted frame program,
+        while the merged model runs ONE big (ΣV, 4) @ MVP matmul and one
+        segment reduction — the shapes the MXU actually wants. Vertex ids
+        are offset per instance; uv / normal / material indices stay valid
+        because those arrays are SHARED by reference (``model @ transform``
+        shallow-copies them, so instances alias one copy).
+
+        All inputs must be transformed copies of the same base mesh (same
+        faces / uv / normals / materials objects) — e.g.
+        ``Model.concat([base @ t for t in transforms])``. The reference has
+        no instancing; each of its models re-runs the full Python pipeline
+        (core.py:592-614).
+        """
+        if not models:
+            raise ValueError("Model.concat needs at least one model")
+        m0 = models[0]
+        for m in models[1:]:
+            if (m._faces is not m0._faces or m.uv is not m0.uv
+                    or m.normals is not m0.normals
+                    or m.materials is not m0.materials):
+                raise ValueError(
+                    "Model.concat merges instanced copies of one mesh; "
+                    "these models do not share faces/uv/normals/materials "
+                    "(create instances with `base @ transform`)")
+        verts = np.concatenate([m.vertices for m in models], axis=0)
+        base = np.asarray(m0._faces)
+        # Resolve OBJ relative (negative) vertex indices against the BASE
+        # length first — after offsetting they would wrap into the wrong
+        # instance's vertex range.
+        vid = base[:, :, 0]
+        base = base.copy()
+        base[:, :, 0] = np.where(vid < 0, vid + len(m0.vertices), vid)
+        faces = np.concatenate(
+            [base + np.array([off, 0, 0, 0], base.dtype)
+             for off in range(0, len(models) * len(m0.vertices),
+                              len(m0.vertices))], axis=0)
+        out = cls(verts, m0.uv, m0.normals, faces, m0.shadowing,
+                  materials=m0.materials, material_group=m0.material_group,
+                  clip=m0.clip, depth_test=m0.depth_test)
+        out.normal_map_is_tangent = m0.normal_map_is_tangent
+        return out
+
     def __matmul__(self, other) -> "Model":
         """Apply a 4x4 row-vector transform; returns a NEW Model (pure).
 

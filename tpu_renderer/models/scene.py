@@ -450,6 +450,31 @@ class Scene:
         packet["inc_dir"] = jnp.asarray(inc_dir)
         packet["inc_valid"] = jnp.asarray(inc_valid)
 
+        # Texture stacks + sampler window/grid tables depend only on
+        # (materials, uv, face indices) — all shared BY REFERENCE across
+        # instanced copies (``model @ transform`` shallow-copies, model.py).
+        # Cache on those identities so N instances of one mesh share ONE
+        # texture atlas and ONE window-content table on device: without
+        # this an instanced high-poly scene replicates the ~17 MB grid per
+        # instance and overflows the kernels' VMEM input budget.
+        wkey = (id(model.materials), id(model.uv), id(model._faces),
+                F, Fp, model._version)
+        cache = getattr(self, "_win_pack_cache", None)
+        if cache is None:
+            cache = self._win_pack_cache = {}
+        hit = cache.get(wkey)
+        if hit is not None:
+            tex_fields, cfg_args, _pins = hit
+            packet.update(tex_fields)
+            packet["_config"] = ModelConfig(
+                num_faces=Fp, clip=model.clip, depth_test=model.depth_test,
+                shadowing=model.shadowing, has_vn=has_vn,
+                has_uv=model.uv is not None, num_edges=et.num_edges,
+                **cfg_args)
+            self._packets[key] = packet
+            return packet
+
+        _packet_base_keys = set(packet)
         flags = {}
         st_by_kind = {}
         for kind, attr in (("kd", "map_Kd"), ("ks", "map_Ks"), ("norm", "norm")):
@@ -592,27 +617,41 @@ class Scene:
             if f"{pre}ngrid" not in packet:
                 packet[f"{pre}ngrid"] = jnp.ones((Fp, 2), jnp.int32)
 
+        cfg_args = dict(
+            has_map_kd=flags["kd"], has_map_ks=flags["ks"],
+            has_norm=flags["norm"], win_kinds=win_kinds,
+            num_windows=num_windows, win2=win2, win_grid=win_grid,
+        )
         packet["_config"] = ModelConfig(
             num_faces=Fp, clip=model.clip, depth_test=model.depth_test,
             shadowing=model.shadowing, has_vn=has_vn,
-            has_uv=model.uv is not None, has_map_kd=flags["kd"],
-            has_map_ks=flags["ks"], has_norm=flags["norm"],
-            num_edges=et.num_edges, win_kinds=win_kinds,
-            num_windows=num_windows, win2=win2, win_grid=win_grid,
-        )
+            has_uv=model.uv is not None, num_edges=et.num_edges,
+            **cfg_args)
+        # Cache the texture/window fields for instanced siblings. The pinned
+        # source objects keep the id()-based key from aliasing a freed
+        # object's address (same hazard note as _windows_all's cache).
+        tex_fields = {k: v for k, v in packet.items()
+                      if k not in _packet_base_keys and k != "_config"}
+        cache[wkey] = (tex_fields, cfg_args,
+                       (model.materials, model.uv, model._faces))
         self._packets[key] = packet
         return packet
 
     def _windows_all(self, packets):
         """Scene-wide texel-window table for the in-kernel sampler: each
-        model's window block row-padded to the scene's kind count and
-        concatenated, in model order (window ids are global). Assembled once
+        DISTINCT model window block row-padded to the scene's kind count and
+        concatenated (window ids are global). Instanced models share their
+        block by identity (see _pack_model's texture cache) — the returned
+        offsets point every instance at the one shared copy. Assembled once
         per packet set — the content is static, and re-padding ~10k windows
-        inside the frame program costs ~0.5 ms."""
+        inside the frame program costs ~0.5 ms.
+
+        Returns ``(table | None, offsets)`` with ``offsets[i]`` the global
+        window base of packet i (0 for untextured models)."""
         n_kinds = max((len(p["_config"].win_kinds) for p in packets),
                       default=0)
         if n_kinds == 0:
-            return None
+            return None, [0] * len(packets)
         # Cache keyed on the window arrays THEMSELVES (identity compare):
         # holding the references keeps them alive, so a rebuilt packet can
         # never alias a freed array's id() and serve stale windows.
@@ -621,12 +660,23 @@ class Scene:
         if (cached is not None and cached[1] == n_kinds
                 and len(cached[0]) == len(key_arrays)
                 and all(a is b for a, b in zip(cached[0], key_arrays))):
-            return cached[2]
+            return cached[2], cached[3]
         parts = []
+        offsets = []
+        base_by_id = {}
+        off = 0
         for p in packets:
             if not p["_config"].win_kinds:
+                offsets.append(0)
                 continue
             w = p["windows"]
+            prev = base_by_id.get(id(w))
+            if prev is not None:
+                offsets.append(prev)
+                continue
+            base_by_id[id(w)] = off
+            offsets.append(off)
+            off += p["_config"].num_windows
             if w.shape[1] < _WIN_R * n_kinds:
                 w = jnp.pad(
                     w, ((0, 0), (0, _WIN_R * n_kinds - w.shape[1]), (0, 0)))
@@ -639,8 +689,8 @@ class Scene:
             out = jnp.concatenate(parts, axis=0)
         else:
             out = None
-        self._windows_all_cache = (key_arrays, n_kinds, out)
-        return out
+        self._windows_all_cache = (key_arrays, n_kinds, out, offsets)
+        return out, offsets
 
     @staticmethod
     def _cam_dyn(cam) -> dict:
@@ -688,6 +738,15 @@ class Scene:
         on_tpu = jax.default_backend() == "tpu"
         backend = self.backend or ("pallas" if on_tpu else "xla")
 
+        # Global window-table offsets (instanced models share one block, see
+        # _windows_all) are static facts — baked into each ModelConfig so
+        # _build_face_batch points every instance's faces at the shared copy.
+        wa, woffs = self._windows_all(packets)
+        import dataclasses as _dc
+        mconfigs = tuple(
+            _dc.replace(p["_config"], win_offset=o)
+            for p, o in zip(packets, woffs))
+
         cfg = SceneConfig(
             backend=backend,
             tex_kernel=self.tex_kernel,
@@ -701,7 +760,7 @@ class Scene:
             dbg_projection_type=(self.debug_camera.projection_type
                                  if self.debug_camera else 0),
             light_type=self.light.light_type,
-            models=tuple(p["_config"] for p in packets),
+            models=mconfigs,
         )
         dyn = {
             "models": [{k: v for k, v in p.items() if not k.startswith("_")}
@@ -709,7 +768,6 @@ class Scene:
             "camera": self._cam_dyn(self.camera),
             "light": self._light_dyn(),
         }
-        wa = self._windows_all(packets)
         if wa is not None:
             dyn["windows_all"] = wa
         if self.debug_camera is not None:

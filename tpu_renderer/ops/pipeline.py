@@ -72,6 +72,12 @@ class ModelConfig:
     #: DMA). All textured models in a scene must agree (scene falls back to
     #: the XLA gather path on a mix). num_windows counts cells in this mode.
     win_grid: bool = False
+    #: Global base of this model's window block in the scene-wide table.
+    #: Instanced copies of one mesh share a block (Scene._windows_all), so
+    #: this is NOT simply the running sum of num_windows. -1 = unset
+    #: (direct render_core callers without a Scene): accumulate num_windows
+    #: in model order, matching the inline windows assembly.
+    win_offset: int = -1
 
 
 @dataclass(frozen=True)
@@ -154,6 +160,8 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
         # window ids are global across models, like gids. The optional
         # second shape-group grid (scene.py) shares the global id space —
         # its block sits right after group 1's inside the model's region.
+        if mc.win_offset >= 0:
+            win_offset = mc.win_offset
         raster["wbase"] = md["win_wbase"] + win_offset
         raster["wnwr"] = md["win_nwr"]
         raster["wnwc"] = md["win_nwc"]
@@ -565,6 +573,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     # Auto mode keys on the GLOBAL frame size so the sampler decision does
     # not silently flip with the shard count (per-visit cost is resolution-
     # independent, so the global frame is the right economic unit).
+    from tpu_renderer.ops import raster_pallas as rp
     n_kinds = max((len(mc.win_kinds) for mc in cfg.models), default=0)
     use_tex_kernel = (cfg.tex_kernel if cfg.tex_kernel is not None
                       else height * width >= 512 * 512)
@@ -603,10 +612,10 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         bins = face_bins(faces, local_height, width, row0=row0,
                          with_debug=cfg.has_debug_camera)
         # The in-kernel sampler rides its per-face scalars in SMEM (word2);
-        # huge textured meshes fall back to the XLA gather path rather than
-        # overflow scalar memory.
+        # meshes past SMEM_FACE_CAP (raster_pallas) fall back to the XLA
+        # gather path rather than overflow scalar memory.
         sampler_on = (n_kinds > 0 and use_tex_kernel and not grid_mixed
-                      and faces["sx"].shape[0] <= 32768)
+                      and faces["sx"].shape[0] <= rp.SMEM_FACE_CAP)
         # With the windowed sampler active, every windowed kind skips the
         # XLA gather, so phase 1 needn't interpolate the slot/shape table
         # channels — unless some model has a texture kind the sampler
@@ -704,7 +713,8 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 # ids are unique): zero-filled partials sum to the merge.
                 gbuffer = jax.lax.psum(gbuffer, axis_tris)
             if use_gbuffer and n_kinds > 0 and use_tex_kernel \
-                    and not grid_mixed and faces["sx"].shape[0] <= 32768:
+                    and not grid_mixed \
+                    and faces["sx"].shape[0] <= rp.SMEM_FACE_CAP:
                 # Windowed sampling over the merged buffers: each shard
                 # samples only the pixels its own faces won (win = tid ==
                 # global id), so zero-filled partial samp/mask planes psum

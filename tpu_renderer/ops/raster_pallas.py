@@ -614,6 +614,16 @@ _QI_COLS = 8
 #: STEN_TH stays the A/B knob.
 _STEN_TH = int(__import__("os").environ.get("STEN_TH", 128))
 
+#: Textured-face budget for the sampler's SMEM scalar words. Each textured
+#: face rides 2 i32 words (word2 + wordg; 4 with a second shape group) in
+#: the scalar-prefetch vector next to the bin counts. MEASURED on v5e
+#: (tools/exp_highpoly.py): 131,328 faces = ~1.05 MB of scalar words
+#: compiles and runs with the grid sampler on; the cap is a conservative
+#: guard, env-overridable for probes, past which the pipeline falls back
+#: to the XLA gather path instead of risking a scalar-memory compile error.
+SMEM_FACE_CAP = int(__import__("os").environ.get(
+    "TPU_RENDERER_SMEM_CAP", 160 * 1024))
+
 
 def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
                near=None, far=None, row0=0):
@@ -750,7 +760,8 @@ def pack_quads(screen, counts, ok, height, width, near, far):
     # Edge half-plane coefficients, orientation folded in (shadow.py::
     # quad_edge_coeffs — the same values the XLA _quad_fragments path uses),
     # so the kernel evaluates 2 FMA + 1 compare per edge with no next-vertex
-    # or active-slot logic. bboxf mirrors qi[:, 0:4] for VREG window masks.
+    # or active-slot logic. bboxf (cols 40-43) is kept for layout stability
+    # but unread since the kernel dropped its redundant window test.
     from tpu_renderer.ops.shadow import quad_edge_coeffs
     eA, eB, eK = quad_edge_coeffs(sx12, sy12, counts.astype(jnp.int32),
                                   is_front)
@@ -837,11 +848,6 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
             jnp.int32, (_STEN_TH, TILE_W), 0).astype(jnp.float32) + y0
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (_STEN_TH, TILE_W), 1).astype(jnp.float32) + x0
-        # For the bbox window folded into the min test below: over
-        # integer-valued pixel coords, cols >= b  <=>  cols - b + 1 > 0
-        # (exact in f32 below 2^23; the bbox columns are ceil'd integers).
-        colsp = cols + 1.0
-        rowsp = rows + 1.0
 
         @pl.when(c == 0)
         def _():
@@ -864,13 +870,15 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                 return jnp.minimum(m, cross) if m is not None else cross
 
             def tail(m):
-                # Bbox window folded into the min (see colsp/rowsp above):
-                # identical pixel set to the old (cols >= b0) & (cols < b1)
-                # & (rows >= b2) & (rows < b3) compare chain.
-                m = jnp.minimum(m, colsp - co(40))
-                m = jnp.minimum(m, co(41) - cols)
-                m = jnp.minimum(m, rowsp - co(42))
-                m = jnp.minimum(m, co(43) - rows)
+                # No bbox window test: the polygon is convex and its ceil'd
+                # bbox CONTAINS the strict-edge-test interior (a pixel at or
+                # beyond the extreme vertex of a convex polygon cannot be
+                # strictly inside every half-plane), so the four per-pixel
+                # window minimums were redundant with the edge minimum —
+                # dropping them cuts ~30% of per-visit vector work. The XLA
+                # _quad_fragments path drops the same test (identical mask
+                # expressions keep the backends bit-identical); frame-pad
+                # rows are excluded by the zb < 3e38 term below.
 
                 # zb >= sign*nf2/q  <=>  (zb*q - sign*nf2 >= 0) == (q > 0):
                 # the multiply-compare form skips two full-tile f32 divides.
@@ -1182,11 +1190,12 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         sdata = _pad_rows_to(pack_sample_faces(faces), chunk)
         word2 = _pad_rows_to(pack_sample_word2(faces), chunk)
         # word2 rides in SMEM (scalar-prefetch): per-visit scalar reads from
-        # SMEM are ~free vs ~38 cycles from a VMEM table. SMEM is small —
-        # bound the mesh size this path accepts.
-        assert word2.shape[0] <= 32768, (
-            "textured mesh too large for SMEM word2; raise FACE_CHUNK "
-            "sharding or fall back to sdata reads")
+        # SMEM are ~free vs ~38 cycles from a VMEM table. SMEM is finite —
+        # bound the mesh size this path accepts (see SMEM_FACE_CAP).
+        assert word2.shape[0] <= SMEM_FACE_CAP, (
+            f"textured mesh ({word2.shape[0]} faces) exceeds SMEM_FACE_CAP="
+            f"{SMEM_FACE_CAP}; the pipeline should have fallen back to the "
+            "XLA gather path")
         wrows = windows.shape[1]
         # Texture shape / window-grid origin as f32 fdata columns: their
         # uses are all vector math, so they arrive as VREG broadcasts.

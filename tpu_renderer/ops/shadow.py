@@ -169,9 +169,14 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
     Ax, By, Cz = nrm[0], nrm[1], nrm[2]
     D = -(a3 @ nrm)
 
-    box, box_valid = _masked_bound_box(sx, sy, active, height, width)
-    window = ((cols >= box[0]) & (cols < box[1]) &
-              (rows >= box[2]) & (rows < box[3]))
+    # No bbox window test: the polygon is convex and its ceil'd bbox
+    # CONTAINS the strict-edge-test interior (a pixel at or beyond the
+    # extreme vertex of a convex polygon cannot be strictly inside every
+    # half-plane), so the reference's bbox crop (transformation.py:35-43)
+    # only bounds ITERATION, never coverage. The Pallas stencil kernel
+    # drops the same test — identical mask expressions keep the backends
+    # bit-identical. box_valid still gates fully-off-frame polygons.
+    _, box_valid = _masked_bound_box(sx, sy, active, height, width)
 
     # Point-in-convex-polygon by edge half-planes (triangular.py:305-316):
     # orientation folded into the coefficients (multiplying by ±1.0 is exact
@@ -206,7 +211,7 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
               & (zb_sign < 3e38))
 
     contrib = jnp.where(is_front, jnp.int32(1), jnp.int32(-1))
-    mask = inside & window & pass_z & ok & box_valid
+    mask = inside & pass_z & ok & box_valid
     return jnp.where(mask, contrib, 0)
 
 
