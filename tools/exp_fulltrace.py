@@ -15,7 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 from tpu_renderer.utils.profiling import trace, summarize_device_trace
 
-REPS = 6
+REPS = int(__import__("os").environ.get("FT_REPS", 6))
 
 
 def main():

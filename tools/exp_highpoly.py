@@ -22,7 +22,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
-                         shadows=True, textured=True, merged=True):
+                         shadows=True, textured=True, merged=True,
+                         cull=False):
     """A grid of instanced textured diablos + floor.
 
     merged=True (default): one Model.concat mega-mesh — ONE vertex-stage
@@ -50,7 +51,7 @@ def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
                      center=(0, 0.5, 0.5), ambient_strength=0.1,
                      specular_strength=0.1, linear=1e-9, quadratic=1e-10)
     camera = tr.Camera((0.5, 4.5, 8.5), center=(0, 0, 0), fovy=90,
-                       near=0.0001, far=400, backface_culling=False)
+                       near=0.0001, far=400, backface_culling=cull)
     scene = tr.Scene(camera, light, shadows=shadows, resolution=resolution,
                      system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL)
     # Grid layout, slight scale/Y-rotation variation so silhouettes differ.
@@ -83,13 +84,15 @@ def main():
     check = "--check" in args
     shadows = "--no-shadows" not in args
     merged = "--multi" not in args
+    cull = "--cull" in args
 
     import jax
     import jax.numpy as jnp
     from tpu_renderer.ops.pipeline import render_frame
 
     t0 = time.time()
-    scene = build_highpoly_scene(n_inst, shadows=shadows, merged=merged)
+    scene = build_highpoly_scene(n_inst, shadows=shadows, merged=merged,
+                                 cull=cull)
     faces = sum(m.num_faces for m in scene.models)
     cfg, dyn = scene._prepare()
     print(f"scene: {n_inst} instances, {faces} faces, "

@@ -28,7 +28,13 @@ def main():
     from tpu_renderer.utils.profiling import trace, summarize_device_trace
     import shutil
 
-    scene = build_scene()
+    if "--highpoly" in sys.argv:
+        sys.path.insert(0, "/root/repo/tools")
+        from exp_highpoly import build_highpoly_scene
+        n = int(sys.argv[sys.argv.index("--highpoly") + 1])
+        scene = build_highpoly_scene(n)
+    else:
+        scene = build_scene()
     cfg, dyn = scene._prepare()
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     sign = cfg.system

@@ -280,13 +280,18 @@ def _grid_metadata(uv, shapes, slot_list):
 
 
 def _build_grid_content(stacks_slots, group_kinds, union, combos):
-    """Cell tables for every combo of one group, on device.
+    """Cell tables for every combo of one group, built ON HOST.
 
     ``stacks_slots``: per UNION kind, (stack (N, TH, TW) uint32, slot) or
     None outside this group (zero planes, never read — kmask gating).
     Each combo's grid is the whole padded texture reshaped into
     (_WIN_R, _WIN_C) cells — a transpose, not a per-window gather.
     Returns (total_cells, _WIN_R·K, _WIN_C) int32.
+
+    Host numpy throughout, ONE device transfer at the end: eager jnp ops
+    here each compile + dispatch a tiny XLA program through the (tunneled,
+    time-shared) device — measured at seconds per op under contention,
+    which once made Scene packing take minutes at high instance counts.
     """
     parts = []
     for slots, th_c, tw_c in combos:
@@ -298,17 +303,17 @@ def _build_grid_content(stacks_slots, group_kinds, union, combos):
                  if k in group_kinds else -1)
             if entry is None or s < 0:
                 kparts.append(
-                    jnp.zeros((ngr * ngc, _WIN_R, _WIN_C), jnp.int32))
+                    np.zeros((ngr * ngc, _WIN_R, _WIN_C), np.int32))
                 continue
             stack, _ = entry
-            tex = jnp.asarray(stack).astype(jnp.int32)[s, :th_c, :tw_c]
-            tex = jnp.pad(tex, ((0, ngr * _WIN_R - th_c),
-                                (0, ngc * _WIN_C - tw_c)))
+            tex = np.asarray(stack).astype(np.int32)[s, :th_c, :tw_c]
+            tex = np.pad(tex, ((0, ngr * _WIN_R - th_c),
+                               (0, ngc * _WIN_C - tw_c)))
             kparts.append(
                 tex.reshape(ngr, _WIN_R, ngc, _WIN_C)
                 .transpose(0, 2, 1, 3).reshape(ngr * ngc, _WIN_R, _WIN_C))
-        parts.append(jnp.concatenate(kparts, axis=1))
-    return jnp.concatenate(parts, axis=0)
+        parts.append(np.concatenate(kparts, axis=1))
+    return jnp.asarray(np.concatenate(parts, axis=0))
 
 
 class Scene:

@@ -132,7 +132,7 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
         f = gather_faces(va, vid, height, width, cfg.backface_culling)
         F = vid.shape[0]                    # local (possibly sharded) count
 
-        world = verts[vid][..., :3]                     # (F, 3, 3)
+        world = f["world"]                              # (F, 3, 3)
         fn_raw = jnp.cross(world[:, 1] - world[:, 0], world[:, 2] - world[:, 0])
         face_normal = normalize(fn_raw)                 # (F, 3) world normal
 

