@@ -44,6 +44,65 @@ def build_scene(resolution=(1024, 1024)):
     return scene
 
 
+def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
+                         shadows=True, textured=True, merged=True,
+                         cull=True):
+    """A grid of instanced textured diablos + floor (~5k faces each).
+
+    The triangle-count scaling config (SURVEY.md §6 names Mtri/s as a
+    first-class metric; the reference's own demo ceiling is 5k triangles,
+    /root/reference/main.py:54,128). merged=True concatenates the instances
+    into ONE mesh (Model.concat): one vertex-stage matmul / silhouette
+    reduction — the TPU-native instancing path. All instances share one
+    texture atlas + sampler window grid via Scene's packing dedup cache.
+    """
+    import tpu_renderer as tr
+    from tpu_renderer.models.gizmos import make_floor
+
+    base = "/root/reference/obj/diablo3_pose"
+    diablo = tr.Model.load_model(os.path.join(base, "diablo3_pose.obj"))
+    if textured:
+        diablo.textures.register(
+            "diffuse", os.path.join(base, "diablo3_pose_diffuse.tga"),
+            normalize=False)
+        diablo.textures.register(
+            "normals", os.path.join(base, "diablo3_pose_nm_tangent.tga"),
+            tangent=True)
+    # Compute the edge table once on the base so instanced shallow copies
+    # share it instead of re-deriving it per instance.
+    diablo.edge_table
+
+    light = tr.Light((5, 8, 0), light_type=tr.Lightning.POINT_LIGHTNING,
+                     center=(0, 0.5, 0.5), ambient_strength=0.1,
+                     specular_strength=0.1, linear=1e-9, quadratic=1e-10)
+    camera = tr.Camera((0.5, 4.5, 8.5), center=(0, 0, 0), fovy=90,
+                       near=0.0001, far=400, backface_culling=cull)
+    scene = tr.Scene(camera, light, shadows=shadows, resolution=resolution,
+                     system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL)
+    # Grid layout, slight scale/Y-rotation variation so silhouettes differ.
+    side = int(np.ceil(np.sqrt(n_instances)))
+    spacing = 2.2
+    insts = []
+    for i in range(n_instances):
+        r, c = divmod(i, side)
+        x = (c - (side - 1) / 2) * spacing
+        z = (r - (side - 1) / 2) * spacing
+        insts.append(diablo @ tr.scale(0.9 + 0.2 * ((i * 7) % 5) / 4)
+                     @ tr.rotate([0, (i * 37) % 360, 0])
+                     @ tr.translation([x, 0, z]))
+    if merged:
+        scene.add_model(tr.Model.concat(insts))
+    else:
+        for inst in insts:
+            scene.add_model(inst)
+    floor = make_floor(1.2 * side * spacing, y=-1.0)
+    floor.textures.register("diffuse",
+                            "/root/reference/obj/floor_diffuse.tga",
+                            normalize=False)
+    scene.add_model(floor)
+    return scene
+
+
 def orbit_position(t: float, radius: float = 5.05, height: float = 3.0):
     return np.array([radius * np.sin(t) + 0.5, height, radius * np.cos(t)],
                     dtype=np.float32)
@@ -297,6 +356,34 @@ def bench_all():
     s4.add_model(d4)
     s4.add_model(c4)
     rows.append(_bench_scene("4: skybox multi-model chained", s4))
+
+    # 5: triangle-count scaling — ~100k faces (20 instanced textured
+    # diablos, shadow volumes, backface culling like config 2), 1024².
+    # Mtri/s is the metric (SURVEY §6); the reference demo tops out at 5k
+    # triangles. The Pallas frame is pinned against the XLA gather oracle
+    # at this scale (goldens never reach it) AFTER the timing rounds (the
+    # huge XLA streaming program degrades later Pallas throughput
+    # in-process).
+    import jax
+
+    import dataclasses
+
+    from tpu_renderer.ops.pipeline import render_frame
+
+    s5 = build_highpoly_scene(20)
+    row5 = _bench_scene("5: 20 instanced diablos 1024 highpoly shadows", s5,
+                        n=10)
+    cfg5, dyn5 = s5._prepare()
+    cfg5x = dataclasses.replace(cfg5, backend="xla", tex_kernel=False)
+    fp = np.asarray(jax.jit(
+        lambda d: render_frame(cfg5, d)[0])(dyn5))
+    fx = np.asarray(jax.jit(
+        lambda d: render_frame(cfg5x, d)[0])(dyn5))
+    row5["pallas_xla_match"] = round(
+        float((fp == fx).all(axis=-1).mean()), 6)
+    print(json.dumps({"config": row5["config"],
+                      "pallas_xla_match": row5["pallas_xla_match"]}))
+    rows.append(row5)
 
     path = _bench_all_artifact()
     with open(path, "w") as f:

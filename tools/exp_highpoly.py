@@ -24,58 +24,16 @@ sys.path.insert(0, "/root/repo")
 def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
                          shadows=True, textured=True, merged=True,
                          cull=False):
-    """A grid of instanced textured diablos + floor.
+    """A grid of instanced textured diablos + floor (shared with bench.py).
 
     merged=True (default): one Model.concat mega-mesh — ONE vertex-stage
     matmul / silhouette reduction (the TPU-native instancing path).
     merged=False: n separate scene models sharing texture atlas + window
     grid via the packing dedup cache (the naive-API path).
     """
-    import tpu_renderer as tr
-    from tpu_renderer.models.gizmos import make_floor
-
-    base = "/root/reference/obj/diablo3_pose"
-    diablo = tr.Model.load_model(os.path.join(base, "diablo3_pose.obj"))
-    if textured:
-        diablo.textures.register(
-            "diffuse", os.path.join(base, "diablo3_pose_diffuse.tga"),
-            normalize=False)
-        diablo.textures.register(
-            "normals", os.path.join(base, "diablo3_pose_nm_tangent.tga"),
-            tangent=True)
-    # Compute the edge table once on the base so instanced shallow copies
-    # share it instead of re-deriving it per instance.
-    diablo.edge_table
-
-    light = tr.Light((5, 8, 0), light_type=tr.Lightning.POINT_LIGHTNING,
-                     center=(0, 0.5, 0.5), ambient_strength=0.1,
-                     specular_strength=0.1, linear=1e-9, quadratic=1e-10)
-    camera = tr.Camera((0.5, 4.5, 8.5), center=(0, 0, 0), fovy=90,
-                       near=0.0001, far=400, backface_culling=cull)
-    scene = tr.Scene(camera, light, shadows=shadows, resolution=resolution,
-                     system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL)
-    # Grid layout, slight scale/Y-rotation variation so silhouettes differ.
-    side = int(np.ceil(np.sqrt(n_instances)))
-    spacing = 2.2
-    insts = []
-    for i in range(n_instances):
-        r, c = divmod(i, side)
-        x = (c - (side - 1) / 2) * spacing
-        z = (r - (side - 1) / 2) * spacing
-        insts.append(diablo @ tr.scale(0.9 + 0.2 * ((i * 7) % 5) / 4)
-                     @ tr.rotate([0, (i * 37) % 360, 0])
-                     @ tr.translation([x, 0, z]))
-    if merged:
-        scene.add_model(tr.Model.concat(insts))
-    else:
-        for inst in insts:
-            scene.add_model(inst)
-    floor = make_floor(1.2 * side * spacing, y=-1.0)
-    floor.textures.register("diffuse",
-                            "/root/reference/obj/floor_diffuse.tga",
-                            normalize=False)
-    scene.add_model(floor)
-    return scene
+    from bench import build_highpoly_scene as _build
+    return _build(n_instances, resolution=resolution, shadows=shadows,
+                  textured=textured, merged=merged, cull=cull)
 
 
 def main():

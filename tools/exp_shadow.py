@@ -74,8 +74,9 @@ def main():
     n_ty, n_tx = H // rp.TILE_H, W // rp.TILE_W
     zb_pad = (zbuf * sign)
     finite = zb_pad < 3e38
-    zmax_tiles = jnp.asarray(jnp.where(finite, zb_pad, -jnp.inf).reshape(
-        n_ty, rp.TILE_H, n_tx, rp.TILE_W).max(axis=(1, 3)))
+    sub = min(rp._STEN_SUB, rp._STEN_TH)
+    zmax_sub = jnp.asarray(jnp.where(finite, zb_pad, -jnp.inf).reshape(
+        -1, sub, n_tx, rp.TILE_W).max(axis=(1, 3)))
 
     def zprep(r, d):
         zp = mixf(zb_pad, r)
@@ -86,7 +87,7 @@ def main():
 
     def binq(r, d):
         cnt, ix = rp._bin_quads(mixf(qdata, r), qi, H, W,
-                                zmax_tiles=zmax_tiles, sign=sign,
+                                zmax_sub=zmax_sub, sign=sign,
                                 near=near, far=far)
         return ix[:8, :1]
 

@@ -614,6 +614,13 @@ _QI_COLS = 8
 #: STEN_TH stays the A/B knob.
 _STEN_TH = int(__import__("os").environ.get("STEN_TH", 128))
 
+#: Row granularity of the XLA-side stencil prunes (_bin_quads): coverage
+#: and z-occlusion are tested per _STEN_SUB-row strip and OR-reduced to the
+#: tile. Finer strips prune more visits (diagonal slivers, tight z maxima)
+#: at 4x-per-halving XLA elementwise cost — all vector-parallel, the kernel
+#: never sees it.
+_STEN_SUB = int(__import__("os").environ.get("STEN_SUB", 32))
+
 #: Textured-face budget for the sampler's SMEM scalar words. Each textured
 #: face rides 2 i32 words (word2 + wordg; 4 with a second shape group) in
 #: the scalar-prefetch vector next to the bin counts. MEASURED on v5e
@@ -625,38 +632,40 @@ SMEM_FACE_CAP = int(__import__("os").environ.get(
     "TPU_RENDERER_SMEM_CAP", 160 * 1024))
 
 
-def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
+def _bin_quads(qdata, qi, height, width, zmax_sub=None, sign=1,
                near=None, far=None, row0=0):
     """Quad/tile lists with exact convex-coverage and z-occlusion pruning.
 
     Extruded shadow quads are long screen-space slivers: their bbox (the
     binning granule) covers ~30 tiles while the polygon itself crosses a
-    handful. The per-edge functions are affine, so a polygon misses a tile iff
-    some active edge is <= 0 at all four tile corners; the corner maximum
-    separates per axis: max_c(cx*A + cy*B) = x0*A + TW*relu(A) + y0*B +
-    TH*relu(B). One (T, E, 12) elementwise reduce prunes ~70%% of the pairs
-    the scalar-bound stencil kernel would otherwise iterate.
+    handful. The per-edge functions are affine, so a polygon misses a region
+    iff some active edge is <= 0 at all four region corners; the corner
+    maximum separates per axis: max_c(cx*A + cy*B) = x0*A + TW*relu(A) +
+    y0*B + TH*relu(B).
 
-    ``zmax_tiles`` (n_ty, n_tx): per-tile maximum of the sign-space z-buffer.
-    Shadow volumes extrude 1000 units away from the light, so most of their
-    area lies behind the visible surfaces and fails the kernel's depth test
-    everywhere in a tile: the quad's plane z is affine in (x, y), its
-    linearization monotone, so the tile minimum of sign-space quad depth sits
-    at a corner — if even that exceeds the tile's z-buffer maximum, no pixel
-    can pass and the pair prunes (conservatively skipped across the
-    linearization pole and degenerate planes).
+    Both the coverage and the z-occlusion tests run at _STEN_SUB-row
+    SUB-slab granularity (a tile is kept iff ANY of its sub-slabs passes
+    both): a diagonal sliver covers the full 128-row tile's y-range but
+    only a narrow band of each 32-row strip, and the z-buffer maximum over
+    a strip is much tighter than over the tile — visits prune that the
+    tile-granular tests keep. This refinement is XLA-side only (elementwise
+    + reduce, fully vector-parallel); the kernel is untouched. Round 3's
+    2x-slower "slab prune" (f81898d) failed on KERNEL-side pl.when gating
+    of per-slab sweeps, not on finer XLA tests.
 
-    MEASURED (round 3, tools/exp_stencil_ab.py): refining this to 16-row
-    slabs — 4x the corner-max work here plus a 4-bit slab mask in the entry
-    gating per-slab kernel sweeps — DOUBLED the cost (stencil kernel 2.38
-    -> 4.71 ms/call, pipeline total 2.75 -> 5.09 ms at 1024^2; outputs
-    bit-identical). Same lesson as _FSLAB=8: per-slab pl.when gating of an
-    unrolled sweep costs more than the masked straight-line full-tile
-    evaluation it skips. The kernel (2.38 ms) dominates the stencil
-    pipeline (binning/pack is ~0.37 ms); future wins must cut per-visit
-    vector work without adding branches, or cut visit count.
+    ``zmax_sub`` (n_ty * S, n_tx), S = _STEN_TH // _STEN_SUB: per-sub-slab
+    maximum of the sign-space z-buffer over geometry pixels. Shadow volumes
+    extrude 1000 units away from the light, so most of their area lies
+    behind the visible surfaces and fails the kernel's depth test
+    everywhere in a region: the quad's plane z is affine in (x, y), its
+    linearization monotone, so the region minimum of sign-space quad depth
+    sits at a corner — if even that exceeds the region's z-buffer maximum,
+    no pixel can pass and the pair prunes (conservatively skipped across
+    the linearization pole and degenerate planes).
     """
     e, _ = qdata.shape
+    sub = min(_STEN_SUB, _STEN_TH)
+    S = _STEN_TH // sub
     n_ty = _cdiv(height, _STEN_TH)
     n_tx = _cdiv(width, TILE_W)
     # Edge half-plane coefficients precomputed by pack_quads (inactive slots
@@ -666,35 +675,34 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
     B = qdata[:, 12:24]
     K = qdata[:, 24:36]
 
-    ty0 = (jnp.arange(n_ty, dtype=jnp.float32) * _STEN_TH) + row0
+    ty0 = (jnp.arange(n_ty * S, dtype=jnp.float32) * sub) + row0   # (TyS,)
     tx0 = (jnp.arange(n_tx, dtype=jnp.float32) * TILE_W)
-    # corner_max[t, e, i] over the tile rectangle, separably per axis.
+    # corner_max[s, t, e, i] over each sub-slab rectangle, separably per axis.
     x_part = (tx0[:, None, None] * A + TILE_W * jnp.maximum(A, 0))  # (Tx,E,12)
-    y_part = (ty0[:, None, None] * B + _STEN_TH * jnp.maximum(B, 0))  # (Ty,E,12)
+    y_part = (ty0[:, None, None] * B + sub * jnp.maximum(B, 0))   # (TyS,E,12)
     # min over edges of corner_max; > 0 everywhere means possibly covered.
-    # Evaluate as (Ty, Tx, E) without materializing (T, E, 12):
+    # Evaluate as (TyS, Tx, E) without materializing (TyS, Tx, E, 12):
     cm = (y_part[:, None] + x_part[None, :] + K[None, None])
-    covered = cm.min(axis=-1) > 0
+    keep = cm.min(axis=-1) > 0                                   # (TyS, Tx, E)
 
     bbox = qi[:, 0:4]
     b0, b1, b2, b3 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
     txi = jnp.arange(n_tx)
-    tyi = jnp.arange(n_ty)
+    tyis = jnp.arange(n_ty * S)
     ov_x = ((b0[None, :] < (txi[:, None] + 1) * TILE_W) &
             (b1[None, :] > txi[:, None] * TILE_W))
-    ov_y = ((b2[None, :] < row0 + (tyi[:, None] + 1) * _STEN_TH) &
-            (b3[None, :] > row0 + tyi[:, None] * _STEN_TH))
-    overlap = (covered & ov_y[:, None, :] & ov_x[None, :, :] &
-               (qi[:, 5] > 0)[None, None, :])
+    ov_y = ((b2[None, :] < row0 + (tyis[:, None] + 1) * sub) &
+            (b3[None, :] > row0 + tyis[:, None] * sub))          # (TyS, E)
+    keep &= ov_y[:, None, :]
 
-    if zmax_tiles is not None:
+    if zmax_sub is not None:
         zx, zy, zd = qdata[:, 36], qdata[:, 37], qdata[:, 38]
         safe = jnp.ones(zx.shape, bool)
         x_lo = tx0[:, None] * zx + TILE_W * jnp.minimum(zx, 0)   # (Tx, E)
         x_hi = tx0[:, None] * zx + TILE_W * jnp.maximum(zx, 0)
-        y_lo = ty0[:, None] * zy + _STEN_TH * jnp.minimum(zy, 0)   # (Ty, E)
-        y_hi = ty0[:, None] * zy + _STEN_TH * jnp.maximum(zy, 0)
-        zr_lo = y_lo[:, None] + x_lo[None] + zd                  # (Ty, Tx, E)
+        y_lo = ty0[:, None] * zy + sub * jnp.minimum(zy, 0)      # (TyS, E)
+        y_hi = ty0[:, None] * zy + sub * jnp.maximum(zy, 0)
+        zr_lo = y_lo[:, None] + x_lo[None] + zd                 # (TyS, Tx, E)
         zr_hi = y_hi[:, None] + x_hi[None] + zd
         nf2 = 2.0 * near * far
         fpn = far + near
@@ -706,13 +714,17 @@ def _bin_quads(qdata, qi, height, width, zmax_tiles=None, sign=1,
         zr_at_min = zr_lo if sign > 0 else zr_hi
         zs_min = sign * nf2 / (fpn - zr_at_min * fmn)
         no_pole = (q_lo > 0) & (q_hi > 0)
-        zmax = zmax_tiles[:, :, None]
-        # All-background tiles have zmax == -inf: any finite quad depth
+        zmax = zmax_sub[:, :, None]
+        # All-background regions have zmax == -inf: any finite quad depth
         # prunes them (zero slack so -inf + slack stays -inf, not NaN).
         slack = jnp.where(jnp.isfinite(zmax),
                           1e-6 * (jnp.abs(zmax) + 1.0), 0.0)
         pruned = safe[None, None] & no_pole & (zs_min > zmax + slack)
-        overlap &= ~pruned
+        keep &= ~pruned
+
+    # A tile keeps a quad iff ANY sub-slab keeps it.
+    overlap = keep.reshape(n_ty, S, n_tx, e).any(axis=1)
+    overlap &= ov_x[None, :, :] & (qi[:, 5] > 0)[None, None, :]
 
     overlap = overlap.reshape(n_ty * n_tx, e)
     counts = overlap.sum(axis=1, dtype=jnp.int32)
@@ -818,13 +830,14 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     # them as always-pass would defeat the z-occlusion prune — nearly every
     # tile contains some sky.
     finite = zb_pad < 3e38
-    zmax_tiles = jnp.where(finite, zb_pad, -jnp.inf).reshape(
-        n_ty, _STEN_TH, n_tx, TILE_W).max(axis=(1, 3))
+    sub = min(_STEN_SUB, _STEN_TH)
+    zmax_sub = jnp.where(finite, zb_pad, -jnp.inf).reshape(
+        n_ty * (_STEN_TH // sub), sub, n_tx, TILE_W).max(axis=(1, 3))
     counts, idx = [], []
     for c in range(n_chunks):
         sl = slice(c * chunk, (c + 1) * chunk)
         cnt, ix = _bin_quads(qdata[sl], qi[sl], height, width,
-                             zmax_tiles=zmax_tiles, sign=sign,
+                             zmax_sub=zmax_sub, sign=sign,
                              near=near, far=far, row0=row0)
         counts.append(cnt)
         idx.append(ix)
