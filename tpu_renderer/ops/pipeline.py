@@ -18,6 +18,7 @@ traced argument, so camera orbits and animated models never recompile.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -652,17 +653,52 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         # Texture sampling runs fused inside phase 1 (windows != None):
         # winner masks, slab scans, and in-register iu/iv are shared instead
         # of re-derived by a third kernel pass.
-        outs = visibility_gbuffer_pallas(
-            faces, attrs, local_height, width, sign,
+        #
+        # Multi-chunk scenes (> FACE_CHUNK faces) SPLIT the two phases into
+        # separate kernels with an XLA z-interval prune between them: at
+        # high triangle counts most faces lose every pixel to overdraw, and
+        # a losing phase-1 visit is pure scalar-bound overhead. Visibility
+        # resolves first (visibility_pallas — the same kernel the sharded
+        # path runs), then phase1_keep drops every face whose sign-space z
+        # range over its bbox misses the final z-buffer's range there, and
+        # the G-buffer pass runs on the re-binned survivors with the winner
+        # ids as an input block (tid_in). Single-chunk scenes keep the
+        # fused call: nearly every face wins pixels, so the prune would
+        # only add its own cost.
+        _split_env = os.environ.get("TPU_RENDERER_SPLIT", "1")
+        split = (faces["sx"].shape[0] > rp.FACE_CHUNK
+                 and _split_env != "0") or _split_env == "2"   # 2 = force
+        common = dict(
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
-            bins=bins[:2], with_tex_tables=needs_tables,
-            windows=windows, n_kinds=n_kinds if windows is not None else 0,
-            row0=row0, two_groups=any(mc.win2 for mc in cfg.models),
-            win_grid=win_grid)
-        if sampler_on:
-            zb_sign, tid, gbuffer, samp, samp_mask = outs
+            with_tex_tables=needs_tables, windows=windows,
+            n_kinds=n_kinds if windows is not None else 0, row0=row0,
+            two_groups=any(mc.win2 for mc in cfg.models), win_grid=win_grid)
+        if split:
+            from tpu_renderer.ops.raster_pallas import (phase1_keep,
+                                                        visibility_pallas)
+            zb_sign, tid = visibility_pallas(
+                faces, local_height, width, sign,
+                with_debug=cfg.has_debug_camera,
+                interpret=cfg.pallas_interpret, bins=bins[:2], row0=row0)
+            keep = phase1_keep(faces, zb_sign, local_height, width, sign,
+                               row0=row0)
+            bins1 = face_bins(faces, local_height, width, row0=row0,
+                              with_debug=cfg.has_debug_camera, keep=keep)
+            outs = visibility_gbuffer_pallas(
+                faces, attrs, local_height, width, sign,
+                bins=bins1[:2], tid_in=tid, **common)
+            if sampler_on:
+                gbuffer, samp, samp_mask = outs
+            else:
+                gbuffer = outs
         else:
-            zb_sign, tid, gbuffer = outs
+            outs = visibility_gbuffer_pallas(
+                faces, attrs, local_height, width, sign,
+                bins=bins[:2], **common)
+            if sampler_on:
+                zb_sign, tid, gbuffer, samp, samp_mask = outs
+            else:
+                zb_sign, tid, gbuffer = outs
     elif use_pallas and sharded:
         # Sharded Pallas: per-shard z/id kernels in global coordinates
         # (bit-identical pixel math; tile grids shift by row0), buffers

@@ -449,7 +449,8 @@ def _chunked_bins(bbox, valid, height, width, chunk, edge_coeffs=None,
     return jnp.stack(counts), jnp.stack(idx)[..., None]
 
 
-def face_bins(faces, height, width, row0=0, with_debug=False, exact=True):
+def face_bins(faces, height, width, row0=0, with_debug=False, exact=True,
+              keep=None):
     """Shared tile/face intersection lists: (counts, idx, chunk).
 
     Computed once per frame and reused by the visibility/G-buffer kernel and
@@ -458,19 +459,123 @@ def face_bins(faces, height, width, row0=0, with_debug=False, exact=True):
     _BIN_*) so kernel visits decode everything from one scalar read.
     ``with_debug`` must match the kernels' (it affects the needs-clip flag
     bit). ``exact=False`` bins by bbox only (skips the edge-coverage prune
-    — an A/B knob; see tools/exp_binprune.py).
+    — an A/B knob; see tools/exp_binprune.py). ``keep`` optionally ANDs an
+    extra per-face mask into validity (the split pipeline's phase-1
+    z-interval prune, see phase1_keep).
     """
     g0 = faces["sx"].shape[0]
     chunk = min(FACE_CHUNK, -(-g0 // 128) * 128)
     coeffs = _face_edge_coeffs({"sx": _pad_rows_to(faces["sx"], chunk),
                                 "sy": _pad_rows_to(faces["sy"], chunk)}) \
         if exact else None
+    valid = faces["valid"]
+    if keep is not None:
+        valid = valid & keep
     counts, idx = _chunked_bins(
         _pad_rows_to(faces["bbox"], chunk),
-        _pad_rows_to(faces["valid"], chunk, fill=False), height, width,
+        _pad_rows_to(valid, chunk, fill=False), height, width,
         chunk, edge_coeffs=coeffs, row0=row0,
         flags=_pad_rows_to(face_flags(faces, with_debug), chunk))
     return counts, idx, chunk
+
+
+#: Cell granularity of the split pipeline's phase-1 z-interval prune.
+_P1_CELL_H = 16
+
+
+def phase1_keep(faces, zb_sign, height, width, sign, row0=0):
+    """Which faces could have WON a pixel of the final z-buffer?
+
+    The split pipeline (multi-chunk scenes, ops/pipeline.py) rasterizes
+    visibility first, then prunes the G-buffer pass's bins with this mask:
+    phase-1 visits are pure overhead for faces that won nothing, and at
+    high triangle counts (heavy overdraw) most faces lose everywhere.
+
+    Correctness: phase 1 writes only where ``tid == gid``. For a z-writing
+    face, a won pixel's final z-buffer value equals the face's own kernel
+    z (any later z write would have re-claimed tid), so the face's
+    sign-space z range over its bbox must intersect the z-buffer's range
+    over the pixels it could cover. Both ranges are cheap and conservative:
+    the face's kernel z is affine (aff[6:9]; extremes at bbox corners),
+    and the buffer's range comes from per-(16, 128)-cell min/max tables
+    dilated 3x3 so one table value bounds any bbox within the center
+    cell's neighborhood (faces larger than the neighborhood are kept).
+    Faces that claim without writing z (depth_test off) can win pixels
+    whose final z-buffer differs from their own z (including background
+    inf) — they are always kept, as are invalid faces (already inactive).
+
+    A slack proportional to the coefficient magnitudes absorbs the affine
+    evaluation's f32 rounding (see ops/vertex.py:~110: error ~|coef|*2^-14
+    px at 4k coords). Gathering the per-face cell stats uses a one-hot
+    contraction — XLA per-element gathers cost ~13 ms per million indices
+    on TPU, the (chunked) one-hot matmul is ~free.
+    """
+    cell_h, cell_w = _P1_CELL_H, TILE_W
+    n_cy = _cdiv(height, cell_h)
+    n_cx = _cdiv(width, cell_w)
+    zb = zb_sign
+    if zb.shape != (n_cy * cell_h, n_cx * cell_w):
+        pad_r = n_cy * cell_h - zb.shape[0]
+        pad_c = n_cx * cell_w - zb.shape[1]
+        zb = jnp.pad(zb, ((0, pad_r), (0, pad_c)), constant_values=jnp.inf)
+    finite = zb < 3e38
+    cells = zb.reshape(n_cy, cell_h, n_cx, cell_w)
+    fin = finite.reshape(n_cy, cell_h, n_cx, cell_w)
+    zmax = jnp.where(fin, cells, -jnp.inf).max(axis=(1, 3))
+    zmin = jnp.where(fin, cells, jnp.inf).min(axis=(1, 3))
+    zmax_d = jax.lax.reduce_window(zmax, -jnp.inf, jax.lax.max,
+                                   (3, 3), (1, 1), "SAME")
+    zmin_d = jax.lax.reduce_window(zmin, jnp.inf, jax.lax.min,
+                                   (3, 3), (1, 1), "SAME")
+    # reduce_window propagates the ±inf init values into the pools, which is
+    # exactly the conservative behavior wanted at the frame border. The
+    # infinities must become finite sentinels BEFORE the one-hot matmul
+    # below: 0 * inf = NaN would poison every face's gathered stats (and
+    # NaN comparisons read as "alive", silently disabling the prune).
+    # All-background neighborhoods keep their semantics: zmax -3e38 prunes
+    # any finite-z face, zmin +3e38 likewise.
+    zmax_d = jnp.clip(zmax_d, -3e38, 3e38)
+    zmin_d = jnp.clip(zmin_d, -3e38, 3e38)
+    table = jnp.stack([zmax_d.reshape(-1), zmin_d.reshape(-1)], axis=1)
+    n_cells = n_cy * n_cx
+
+    bbox = faces["bbox"]                                  # (F,4) x0,x1,y0,y1
+    f32 = lambda v: v.astype(jnp.float32)
+    cx = jnp.clip((bbox[:, 0] + bbox[:, 1]) // 2, 0, width - 1) // cell_w
+    cy = jnp.clip((bbox[:, 2] + bbox[:, 3]) // 2 - row0,
+                  0, height - 1) // cell_h
+    cell = (cy * n_cx + cx).astype(jnp.int32)
+    g = cell.shape[0]
+    stats = []
+    for c0 in range(0, g, FACE_CHUNK):
+        cc = cell[c0:c0 + FACE_CHUNK]
+        oh = (cc[:, None] == jnp.arange(n_cells, dtype=jnp.int32)[None]
+              ).astype(jnp.float32)
+        stats.append(jnp.matmul(oh, table, precision="highest"))
+    stats = jnp.concatenate(stats, axis=0)
+    zmax_f, zmin_f = stats[:, 0], stats[:, 1]
+
+    az, bz, cz = faces["aff"][:, 6], faces["aff"][:, 7], faces["aff"][:, 8]
+    corners = [az * f32(bbox[:, i]) + bz * f32(bbox[:, j]) + cz
+               for i in (0, 1) for j in (2, 3)]
+    zs = [sign * c for c in corners]
+    zs_lo = jnp.minimum(jnp.minimum(zs[0], zs[1]),
+                        jnp.minimum(zs[2], zs[3]))
+    zs_hi = jnp.maximum(jnp.maximum(zs[0], zs[1]),
+                        jnp.maximum(zs[2], zs[3]))
+    # Rounding slack for the kernel's z = az*x + bz*y + cz at any pixel of
+    # the bbox (and for the corner evals above): a few roundings of terms
+    # bounded by the intermediate magnitudes. The reference's linearized z
+    # spans only ~1e-7 across a scene (near/far quirk), so the slack MUST
+    # be ulp-scaled — any absolute epsilon swamps the whole z range and the
+    # prune never fires. 16 ulps is ~5x the worst 3-term FMA chain.
+    slack = (16 * 6e-8) * (jnp.abs(az) * width
+                           + jnp.abs(bz) * (height + row0) + jnp.abs(cz))
+    fits = ((bbox[:, 3] - bbox[:, 2] <= 2 * cell_h) &
+            (bbox[:, 1] - bbox[:, 0] <= 2 * cell_w))
+    prunable = faces["z_write"] & fits
+    dead = (zs_lo - slack > zmax_f) | (zs_hi + slack < zmin_f)
+    return ~(prunable & dead)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "sign", "with_debug",
@@ -1151,7 +1256,8 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                               with_debug=False, interpret=False, bins=None,
                               with_tex_tables=True, windows=None, n_kinds=0,
                               mode="full", row0=0, gb_layout="general",
-                              two_groups=False, win_grid=False):
+                              two_groups=False, win_grid=False,
+                              tid_in=None):
     """Visibility resolve + forward-interpolated G-buffer, one kernel.
 
     Per-pixel attribute gathers (table[tid]) are pathologically slow in XLA on
@@ -1174,7 +1280,16 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     math are shared instead of re-derived by a third kernel pass, and the
     iu/iv G-buffer round-trip through HBM disappears. Returns
     (zbuf, tid, gbuffer, samp, mask) in that case, else (zbuf, tid, gbuffer).
+
+    ``tid_in`` (the SPLIT pipeline, ops/pipeline.py): the winner-id plane
+    arrives as an INPUT block and only phase 1 runs — the caller resolved
+    visibility with visibility_pallas and pruned these bins to faces that
+    could have won pixels (phase1_keep), so the grid is (ty, tx, n_chunks)
+    and the zbuf/tid outputs disappear. Returns (gbuffer[, samp, mask]).
+    Pixel expressions are shared with the fused path — identical frames.
     """
+    split = tid_in is not None
+    assert not (split and mode == "nogb"), "nogb debug mode writes tid"
     fdata0 = pack_faces(faces, with_debug)
     base_cols = fdata0.shape[1]
     extra = (pack_face_attrs(attrs) if gb_layout == "general"
@@ -1227,22 +1342,37 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
     fdata = _pad_cols_128(fdata)
 
     def kernel(counts_ref, idx_ref, fdata_ref, *rest):
+        zb_ref = None
         if sampling and win_grid:
             # Shared-cell mode: the whole window-cell table is a resident
             # VMEM input block (constant index map -> fetched once); no
             # speculative DMA machinery at all.
-            (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
-             mask_ref) = rest
+            if split:
+                (sdata_ref, win_hbm, tid_ref, gb_ref, samp_ref,
+                 mask_ref) = rest
+            else:
+                (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
+                 mask_ref) = rest
         elif sampling:
-            (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
-             mask_ref, spec, sync, sems, sems2, sem_sync) = rest
+            if split:
+                (sdata_ref, win_hbm, tid_ref, gb_ref, samp_ref,
+                 mask_ref, spec, sync, sems, sems2, sem_sync) = rest
+            else:
+                (sdata_ref, win_hbm, zb_ref, tid_ref, gb_ref, samp_ref,
+                 mask_ref, spec, sync, sems, sems2, sem_sync) = rest
+        elif split:
+            tid_ref, gb_ref = rest
         else:
             zb_ref, tid_ref, gb_ref = rest
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         step = pl.program_id(2)
-        phase = step >= n_chunks
-        c = step - n_chunks * phase.astype(jnp.int32)
+        if split:
+            phase = jnp.bool_(True)
+            c = step
+        else:
+            phase = step >= n_chunks
+            c = step - n_chunks * phase.astype(jnp.int32)
         count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         gid0k = counts_ref[n_chunks * n_ty * n_tx + 1] + c * chunk
         y0f = (ty * TILE_H + counts_ref[n_chunks * n_ty * n_tx]).astype(
@@ -1255,8 +1385,9 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
         @pl.when(step == 0)
         def _():
-            zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
-            tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+            if not split:
+                zb_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+                tid_ref[:] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
             gb_ref[:] = jnp.zeros((n_gb, TILE_H, TILE_W), jnp.float32)
             if sampling:
                 samp_ref[:] = jnp.zeros((n_kinds, TILE_H, TILE_W), jnp.int32)
@@ -1309,6 +1440,8 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
 
         @pl.when(jnp.logical_not(phase))
         def _():
+            if split:
+                return                     # phase 0 ran in visibility_pallas
             def body(k, _):
                 # Single incremental z+id pass — see visibility_pallas.
                 f, flags, s_base, n_slabs = _decode_bin(idx_ref[0, 0, k, 0])
@@ -1474,6 +1607,11 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         jax.ShapeDtypeStruct(
             (n_gb, n_ty * TILE_H, n_tx * TILE_W), jnp.float32),
     ]
+    if split:
+        # Split pipeline: zbuf/tid came from visibility_pallas — only the
+        # G-buffer (+ sampler planes below) are produced here.
+        out_specs = out_specs[2:]
+        out_shape = out_shape[2:]
     scratch_shapes = []
     tail = [counts.reshape(-1), jnp.asarray(row0, jnp.int32).reshape(1),
             faces["gid"][0].reshape(1)]
@@ -1522,9 +1660,20 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
                 pltpu.SemaphoreType.DMA(()),
             ]
         inputs += [sdata, windows]
+    if split:
+        tid_pad = tid_in
+        if tid_pad.shape != (n_ty * TILE_H, n_tx * TILE_W):
+            tid_pad = jnp.pad(
+                tid_pad, ((0, n_ty * TILE_H - tid_pad.shape[0]),
+                          (0, n_tx * TILE_W - tid_pad.shape[1])),
+                constant_values=-1)
+        in_specs.append(pl.BlockSpec((TILE_H, TILE_W),
+                                     lambda ty, tx, st, s: (ty, tx),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(tid_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_ty, n_tx, 2 * n_chunks),
+        grid=(n_ty, n_tx, (1 if split else 2) * n_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
@@ -1543,6 +1692,13 @@ def visibility_gbuffer_pallas(faces, attrs, height, width, sign,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(80 if win_grid else 48) * 2 ** 20),
     )(*inputs)
+    if split:
+        gb = outs[0]
+        res = (gb[:, :height, :width],)
+        if sampling:
+            res += (outs[1][:, :height, :width],
+                    outs[2][:height, :width])
+        return res if sampling else res[0]
     zb, tid, gb = outs[:3]
     res = (zb[:height, :width], tid[:height, :width],
            gb[:, :height, :width])
