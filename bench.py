@@ -16,6 +16,11 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: the axon tunnel compiles remotely
+# (~4 min for the 100k-face program); cached executables skip it entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax"))
+
 
 def build_scene(resolution=(1024, 1024)):
     import tpu_renderer as tr
@@ -46,7 +51,7 @@ def build_scene(resolution=(1024, 1024)):
 
 def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
                          shadows=True, textured=True, merged=True,
-                         cull=True):
+                         cull=True, cam_height=4.5):
     """A grid of instanced textured diablos + floor (~5k faces each).
 
     The triangle-count scaling config (SURVEY.md §6 names Mtri/s as a
@@ -75,23 +80,30 @@ def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
     light = tr.Light((5, 8, 0), light_type=tr.Lightning.POINT_LIGHTNING,
                      center=(0, 0.5, 0.5), ambient_strength=0.1,
                      specular_strength=0.1, linear=1e-9, quadratic=1e-10)
-    camera = tr.Camera((0.5, 4.5, 8.5), center=(0, 0, 0), fovy=90,
+    # cam_height 4.5 looks over the grid (every instance visible — the
+    # low-occlusion worst case); ~1.5 looks THROUGH the crowd (rows occlude
+    # rows — the depth-complexity case the z-interval prunes are built for).
+    camera = tr.Camera((0.5, cam_height, 8.5), center=(0, 0, 0), fovy=90,
                        near=0.0001, far=400, backface_culling=cull)
     scene = tr.Scene(camera, light, shadows=shadows, resolution=resolution,
                      system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL)
     # Grid layout, slight scale/Y-rotation variation so silhouettes differ.
+    # host_build: the eager per-instance transform math would otherwise pay
+    # a tunnel round trip per op on the axon platform (128 s vs 5 s).
     side = int(np.ceil(np.sqrt(n_instances)))
     spacing = 2.2
     insts = []
-    for i in range(n_instances):
-        r, c = divmod(i, side)
-        x = (c - (side - 1) / 2) * spacing
-        z = (r - (side - 1) / 2) * spacing
-        insts.append(diablo @ tr.scale(0.9 + 0.2 * ((i * 7) % 5) / 4)
-                     @ tr.rotate([0, (i * 37) % 360, 0])
-                     @ tr.translation([x, 0, z]))
+    with tr.host_build():
+        for i in range(n_instances):
+            r, c = divmod(i, side)
+            x = (c - (side - 1) / 2) * spacing
+            z = (r - (side - 1) / 2) * spacing
+            insts.append(diablo @ tr.scale(0.9 + 0.2 * ((i * 7) % 5) / 4)
+                         @ tr.rotate([0, (i * 37) % 360, 0])
+                         @ tr.translation([x, 0, z]))
+        merged_model = tr.Model.concat(insts) if merged else None
     if merged:
-        scene.add_model(tr.Model.concat(insts))
+        scene.add_model(merged_model)
     else:
         for inst in insts:
             scene.add_model(inst)

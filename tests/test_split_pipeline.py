@@ -65,6 +65,23 @@ def test_split_matches_fused_and_xla(scene, monkeypatch):
     assert ((f_split == f_xla).all(axis=-1)).mean() >= 0.995
 
 
+@pytest.mark.parametrize("shader", ["gouraud"])
+def test_split_slim_matches_fused(scene, monkeypatch, shader):
+    """The slim-layout (flat/gouraud/pbr) kernels take the same split+prune
+    path on multi-chunk scenes; frames must stay bit-identical."""
+    from tpu_renderer.ops import raster_pallas as rp
+
+    monkeypatch.setattr(rp, "FACE_CHUNK", 128)
+    cfg, dyn = scene._prepare()
+    cfg_p = dataclasses.replace(cfg, backend="pallas", pallas_interpret=True,
+                                shader=shader)
+    monkeypatch.setenv("TPU_RENDERER_SPLIT", "1")
+    f_split = np.asarray(render_frame(cfg_p, dyn)[0])
+    monkeypatch.setenv("TPU_RENDERER_SPLIT", "0")
+    f_fused = np.asarray(render_frame(cfg_p, dyn)[0])
+    np.testing.assert_array_equal(f_split, f_fused)
+
+
 def test_phase1_keep_never_drops_winners(monkeypatch):
     """Every face id present in the final tid plane survives the prune, and
     on a scene with a fully-occluded sphere the prune actually fires.

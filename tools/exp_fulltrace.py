@@ -26,7 +26,9 @@ def main():
         from exp_highpoly import build_highpoly_scene
         n = int(sys.argv[sys.argv.index("--highpoly") + 1])
         scene = build_highpoly_scene(
-            n, shadows="--no-shadows" not in sys.argv)
+            n, shadows="--no-shadows" not in sys.argv,
+            cull="--cull" in sys.argv,
+            cam_height=1.5 if "--low" in sys.argv else 4.5)
     else:
         scene = build_scene()
     cfg, dyn = scene._prepare()

@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
                          shadows=True, textured=True, merged=True,
-                         cull=False):
+                         cull=False, cam_height=4.5):
     """A grid of instanced textured diablos + floor (shared with bench.py).
 
     merged=True (default): one Model.concat mega-mesh — ONE vertex-stage
@@ -33,7 +33,8 @@ def build_highpoly_scene(n_instances=20, resolution=(1024, 1024),
     """
     from bench import build_highpoly_scene as _build
     return _build(n_instances, resolution=resolution, shadows=shadows,
-                  textured=textured, merged=merged, cull=cull)
+                  textured=textured, merged=merged, cull=cull,
+                  cam_height=cam_height)
 
 
 def main():
@@ -43,6 +44,7 @@ def main():
     shadows = "--no-shadows" not in args
     merged = "--multi" not in args
     cull = "--cull" in args
+    cam_height = 1.5 if "--low" in args else 4.5
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +52,7 @@ def main():
 
     t0 = time.time()
     scene = build_highpoly_scene(n_inst, shadows=shadows, merged=merged,
-                                 cull=cull)
+                                 cull=cull, cam_height=cam_height)
     faces = sum(m.num_faces for m in scene.models)
     cfg, dyn = scene._prepare()
     print(f"scene: {n_inst} instances, {faces} faces, "

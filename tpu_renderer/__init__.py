@@ -42,6 +42,20 @@ from tpu_renderer.ops import frustum as plane_intersection
 _sys.modules[__name__ + ".transformation"] = transformation
 _sys.modules[__name__ + ".plane_intersection"] = plane_intersection
 
+
+def host_build():
+    """Context manager: run eager scene-construction math on the host CPU.
+
+    ``tr.scale/rotate/translation`` and ``Model @ matrix`` execute eagerly;
+    on a tunneled TPU platform every eager op pays a device round trip
+    (measured: a 20-instance scene build took 128 s through the tunnel vs
+    5 s on host). Wrap construction in ``with tr.host_build():`` — the
+    arrays transfer to the accelerator when the scene is packed.
+    """
+    import jax
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 __all__ = [
     "Model", "Camera", "Light", "Scene", "CubeMap", "Lightning", "Face",
     "Errors", "scale", "translation", "rotate", "rotate_xyz",
@@ -49,6 +63,7 @@ __all__ = [
     "SHADER_GENERAL", "SHADER_FLAT", "SHADER_GOURAUD", "SHADER_PBR",
     "SHADER_WIREFRAME", "SHADER_POINTS",
     "transformation", "plane_intersection", "constants", "lightning",
+    "host_build",
 ]
 
 __version__ = "0.1.0"

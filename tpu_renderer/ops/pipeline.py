@@ -592,15 +592,38 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     rows_only = axis_tris is None
     if slim_layout and (not sharded or rows_only):
         # Slim fused kernel: z + ids + the few channels flat/gouraud/pbr
-        # read, no texture tables, no sampler.
+        # read, no texture tables, no sampler. Multi-chunk scenes split the
+        # phases with the z-interval prune exactly like the general-shader
+        # path below.
         from tpu_renderer.ops.raster_pallas import (face_bins,
                                                     visibility_gbuffer_pallas)
         bins = face_bins(faces, local_height, width, row0=row0,
                          with_debug=cfg.has_debug_camera)
-        zb_sign, tid, gbuffer = visibility_gbuffer_pallas(
-            faces, attrs, local_height, width, sign,
-            with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
-            bins=bins[:2], gb_layout=slim_layout, row0=row0)
+        _split_env = os.environ.get("TPU_RENDERER_SPLIT", "1")
+        if (faces["sx"].shape[0] > rp.FACE_CHUNK
+                and _split_env != "0") or _split_env == "2":
+            from tpu_renderer.ops.raster_pallas import (phase1_keep,
+                                                        visibility_pallas)
+            zb_sign, tid = visibility_pallas(
+                faces, local_height, width, sign,
+                with_debug=cfg.has_debug_camera,
+                interpret=cfg.pallas_interpret, bins=bins[:2], row0=row0)
+            keep = phase1_keep(faces, zb_sign, local_height, width, sign,
+                               row0=row0)
+            bins1 = face_bins(faces, local_height, width, row0=row0,
+                              with_debug=cfg.has_debug_camera, keep=keep)
+            gbuffer = visibility_gbuffer_pallas(
+                faces, attrs, local_height, width, sign,
+                with_debug=cfg.has_debug_camera,
+                interpret=cfg.pallas_interpret,
+                bins=bins1[:2], gb_layout=slim_layout, row0=row0,
+                tid_in=tid)
+        else:
+            zb_sign, tid, gbuffer = visibility_gbuffer_pallas(
+                faces, attrs, local_height, width, sign,
+                with_debug=cfg.has_debug_camera,
+                interpret=cfg.pallas_interpret,
+                bins=bins[:2], gb_layout=slim_layout, row0=row0)
     elif use_gbuffer and (not sharded or rows_only):
         # Row-only sharding runs the SAME fused kernel as single-chip: each
         # shard owns its frame rows completely (tile grids shift by row0),

@@ -947,6 +947,14 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         counts.append(cnt)
         idx.append(ix)
     counts = jnp.stack(counts)
+    # The trailing unit LANE dim makes XLA pad this array to 128 lanes in
+    # HBM — at 28k quads x 64 tiles the materialization alone costs
+    # ~2.8 ms/frame (a ~1 GB write). It is FORCED: the kernel iterates
+    # entries with dynamic scalar reads, Mosaic requires the dynamic index
+    # on a sublane dim ("cannot statically prove that index in dimension 2
+    # is a multiple of 128" for any lane-indexed variant), and lane-block 1
+    # over a T-lane array violates the divisibility rule. Tried and
+    # reverted (round 4): idx as (C, chunk, T) with per-tile lane blocks.
     idx = jnp.stack(idx)[..., None]
     zscal = jnp.stack([2.0 * near * far, far + near, far - near,
                        1.0 * row0]).astype(jnp.float32)
