@@ -26,10 +26,16 @@ H = W = 1024
 
 
 def main():
-    from bench import build_scene
+    from bench import build_scene, build_highpoly_scene
     from tpu_renderer.ops import pipeline as pp
 
-    scene = build_scene()
+    if "--highpoly" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--highpoly") + 1])
+        scene = build_highpoly_scene(
+            n, cull="--cull" in sys.argv,
+            cam_height=1.5 if "--low" in sys.argv else 4.5)
+    else:
+        scene = build_scene()
     cfg, dyn = scene._prepare()
     dyn = jax.tree_util.tree_map(jnp.asarray, dyn)
     sign = cfg.system
@@ -44,6 +50,20 @@ def main():
 
     faces, attrs, bins = jax.tree_util.tree_map(jnp.asarray, setup(dyn))
     windows = dyn["windows_all"]
+
+    # Past FACE_CHUNK faces the pipeline runs the SPLIT path: measure the
+    # phase-1-only kernel (tid_in, pruned bins) — zonly then times pure
+    # grid/streaming machinery (both phases gated off).
+    split = faces["sx"].shape[0] > rp.FACE_CHUNK
+    tid_in = None
+    if split:
+        @jax.jit
+        def setup2(faces):
+            zb, tid = rp.visibility_pallas(faces, H, W, sign, bins=bins)
+            keep = rp.phase1_keep(faces, zb, H, W, sign)
+            bins1 = rp.face_bins(faces, H, W, keep=keep)
+            return tid, bins1[:2]
+        tid_in, bins = jax.tree_util.tree_map(jnp.asarray, setup2(faces))
 
     # Chain the reps (each consumes a scalar of the previous tid): without a
     # data dependency XLA overlaps two kernel instances and their combined
@@ -72,9 +92,10 @@ def main():
                     fc, attrs, H, W, sign, bins=bins, with_tex_tables=False,
                     windows=windows, n_kinds=n_kinds, mode=mode,
                     win_grid=all(mc.win_grid for mc in cfg.models
-                                 if mc.win_kinds))
-                acc = o[1][0, 0]
-                outs.append(o[1][:8, :1])
+                                 if mc.win_kinds), tid_in=tid_in)
+                probe = (o[0][0] if split else o[1])
+                acc = probe[0, 0].astype(jnp.int32)
+                outs.append(probe[:8, :1].astype(jnp.int32))
             return jnp.concatenate(outs)
 
         np.asarray(program(faces, attrs))

@@ -480,7 +480,13 @@ def face_bins(faces, height, width, row0=0, with_debug=False, exact=True,
 
 
 #: Cell granularity of the split pipeline's phase-1 z-interval prune.
+#: Cells must be SMALL: the prune asks "is this face behind everything
+#: visible where it lands", and any far-geometry pixel (the floor showing
+#: through a gap in the crowd) inside the probed region defeats it. A
+#: 128-px-wide cell dilated 3x3 measured keep=0.996 on the 20-diablo crowd
+#: scene — useless; (16, 32) cells probed at the face's own bbox prune.
 _P1_CELL_H = 16
+_P1_CELL_W = 32
 
 
 def phase1_keep(faces, zb_sign, height, width, sign, row0=0):
@@ -497,20 +503,22 @@ def phase1_keep(faces, zb_sign, height, width, sign, row0=0):
     sign-space z range over its bbox must intersect the z-buffer's range
     over the pixels it could cover. Both ranges are cheap and conservative:
     the face's kernel z is affine (aff[6:9]; extremes at bbox corners),
-    and the buffer's range comes from per-(16, 128)-cell min/max tables
-    dilated 3x3 so one table value bounds any bbox within the center
-    cell's neighborhood (faces larger than the neighborhood are kept).
-    Faces that claim without writing z (depth_test off) can win pixels
-    whose final z-buffer differs from their own z (including background
-    inf) — they are always kept, as are invalid faces (already inactive).
+    and the buffer's range comes from per-(_P1_CELL_H, _P1_CELL_W) min/max
+    tables pooled 2x2 at stride 1, so the value at the bbox's TOP-LEFT
+    cell bounds any bbox spanning at most one cell in each axis (larger
+    faces are kept). Faces that claim without writing z (depth_test off)
+    can win pixels whose final z-buffer differs from their own z
+    (including background inf) — they are always kept, as are invalid
+    faces (already inactive).
 
     A slack proportional to the coefficient magnitudes absorbs the affine
     evaluation's f32 rounding (see ops/vertex.py:~110: error ~|coef|*2^-14
-    px at 4k coords). Gathering the per-face cell stats uses a one-hot
-    contraction — XLA per-element gathers cost ~13 ms per million indices
-    on TPU, the (chunked) one-hot matmul is ~free.
+    px at 4k coords). Gathering the per-face cell stats uses a FACTORIZED
+    one-hot contraction (row pick as a matmul, then a column
+    multiply-reduce) — XLA per-element gathers cost ~13 ms per million
+    indices on TPU; this is ~100 elementwise ops per face.
     """
-    cell_h, cell_w = _P1_CELL_H, TILE_W
+    cell_h, cell_w = _P1_CELL_H, _P1_CELL_W
     n_cy = _cdiv(height, cell_h)
     n_cx = _cdiv(width, cell_w)
     zb = zb_sign
@@ -523,36 +531,36 @@ def phase1_keep(faces, zb_sign, height, width, sign, row0=0):
     fin = finite.reshape(n_cy, cell_h, n_cx, cell_w)
     zmax = jnp.where(fin, cells, -jnp.inf).max(axis=(1, 3))
     zmin = jnp.where(fin, cells, jnp.inf).min(axis=(1, 3))
-    zmax_d = jax.lax.reduce_window(zmax, -jnp.inf, jax.lax.max,
-                                   (3, 3), (1, 1), "SAME")
-    zmin_d = jax.lax.reduce_window(zmin, jnp.inf, jax.lax.min,
-                                   (3, 3), (1, 1), "SAME")
-    # reduce_window propagates the ±inf init values into the pools, which is
-    # exactly the conservative behavior wanted at the frame border. The
-    # infinities must become finite sentinels BEFORE the one-hot matmul
-    # below: 0 * inf = NaN would poison every face's gathered stats (and
-    # NaN comparisons read as "alive", silently disabling the prune).
+    # 2x2 stride-1 pools: pooled[cy, cx] covers cells [cy, cy+1]x[cx, cx+1]
+    # (edge-padded with the no-constraint identities), so one lookup at the
+    # bbox's top-left cell bounds a bbox spanning <= 2 cells per axis.
+    pad_max = jnp.pad(zmax, ((0, 1), (0, 1)), constant_values=-jnp.inf)
+    pad_min = jnp.pad(zmin, ((0, 1), (0, 1)), constant_values=jnp.inf)
+    zmax_p = jnp.maximum(jnp.maximum(pad_max[:-1, :-1], pad_max[1:, :-1]),
+                         jnp.maximum(pad_max[:-1, 1:], pad_max[1:, 1:]))
+    zmin_p = jnp.minimum(jnp.minimum(pad_min[:-1, :-1], pad_min[1:, :-1]),
+                         jnp.minimum(pad_min[:-1, 1:], pad_min[1:, 1:]))
+    # ±inf must become finite sentinels BEFORE the one-hot contraction:
+    # 0 * inf = NaN would poison every face's gathered stats (and NaN
+    # comparisons read as "alive", silently disabling the prune).
     # All-background neighborhoods keep their semantics: zmax -3e38 prunes
     # any finite-z face, zmin +3e38 likewise.
-    zmax_d = jnp.clip(zmax_d, -3e38, 3e38)
-    zmin_d = jnp.clip(zmin_d, -3e38, 3e38)
-    table = jnp.stack([zmax_d.reshape(-1), zmin_d.reshape(-1)], axis=1)
-    n_cells = n_cy * n_cx
+    zmax_p = jnp.clip(zmax_p, -3e38, 3e38)
+    zmin_p = jnp.clip(zmin_p, -3e38, 3e38)
+    # (n_cy, n_cx, 2) -> row table (n_cy, n_cx*2) for the row-pick matmul.
+    tab = jnp.stack([zmax_p, zmin_p], axis=-1).reshape(n_cy, n_cx * 2)
 
     bbox = faces["bbox"]                                  # (F,4) x0,x1,y0,y1
     f32 = lambda v: v.astype(jnp.float32)
-    cx = jnp.clip((bbox[:, 0] + bbox[:, 1]) // 2, 0, width - 1) // cell_w
-    cy = jnp.clip((bbox[:, 2] + bbox[:, 3]) // 2 - row0,
-                  0, height - 1) // cell_h
-    cell = (cy * n_cx + cx).astype(jnp.int32)
-    g = cell.shape[0]
-    stats = []
-    for c0 in range(0, g, FACE_CHUNK):
-        cc = cell[c0:c0 + FACE_CHUNK]
-        oh = (cc[:, None] == jnp.arange(n_cells, dtype=jnp.int32)[None]
-              ).astype(jnp.float32)
-        stats.append(jnp.matmul(oh, table, precision="highest"))
-    stats = jnp.concatenate(stats, axis=0)
+    cy = jnp.clip(bbox[:, 2] - row0, 0, height - 1) // cell_h
+    cx = jnp.clip(bbox[:, 0], 0, width - 1) // cell_w
+    oh_y = (cy[:, None] == jnp.arange(n_cy, dtype=cy.dtype)[None]
+            ).astype(jnp.float32)
+    rows = jnp.matmul(oh_y, tab, precision="highest")     # (F, n_cx*2)
+    rows = rows.reshape(-1, n_cx, 2)
+    oh_x = (cx[:, None] == jnp.arange(n_cx, dtype=cx.dtype)[None]
+            ).astype(jnp.float32)
+    stats = (rows * oh_x[:, :, None]).sum(axis=1)         # (F, 2)
     zmax_f, zmin_f = stats[:, 0], stats[:, 1]
 
     az, bz, cz = faces["aff"][:, 6], faces["aff"][:, 7], faces["aff"][:, 8]
@@ -571,8 +579,11 @@ def phase1_keep(faces, zb_sign, height, width, sign, row0=0):
     # prune never fires. 16 ulps is ~5x the worst 3-term FMA chain.
     slack = (16 * 6e-8) * (jnp.abs(az) * width
                            + jnp.abs(bz) * (height + row0) + jnp.abs(cz))
-    fits = ((bbox[:, 3] - bbox[:, 2] <= 2 * cell_h) &
-            (bbox[:, 1] - bbox[:, 0] <= 2 * cell_w))
+    # The 2x2 stride-1 pool at the top-left cell covers a bbox spanning at
+    # most 2 cells per axis: rows [y0, y0 + cell_h] stay within
+    # [cy0, cy0 + 1] cells when the extent is <= cell size.
+    fits = ((bbox[:, 3] - bbox[:, 2] <= cell_h) &
+            (bbox[:, 1] - bbox[:, 0] <= cell_w))
     prunable = faces["z_write"] & fits
     dead = (zs_lo - slack > zmax_f) | (zs_hi + slack < zmin_f)
     return ~(prunable & dead)
@@ -786,9 +797,15 @@ def _bin_quads(qdata, qi, height, width, zmax_sub=None, sign=1,
     x_part = (tx0[:, None, None] * A + TILE_W * jnp.maximum(A, 0))  # (Tx,E,12)
     y_part = (ty0[:, None, None] * B + sub * jnp.maximum(B, 0))   # (TyS,E,12)
     # min over edges of corner_max; > 0 everywhere means possibly covered.
-    # Evaluate as (TyS, Tx, E) without materializing (TyS, Tx, E, 12):
-    cm = (y_part[:, None] + x_part[None, :] + K[None, None])
-    keep = cm.min(axis=-1) > 0                                   # (TyS, Tx, E)
+    # Evaluated edge-by-edge so only the (TyS, Tx, E) running minimum ever
+    # materializes — the 4D broadcast would be ~100 MB per chunk at 32
+    # sub-slabs and XLA fusing it away is not guaranteed.
+    cmin = None
+    for i in range(12):
+        v = (y_part[:, None, :, i] + x_part[None, :, :, i]
+             + K[None, None, :, i])
+        cmin = v if cmin is None else jnp.minimum(cmin, v)
+    keep = cmin > 0                                              # (TyS, Tx, E)
 
     bbox = qi[:, 0:4]
     b0, b1, b2, b3 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
