@@ -264,19 +264,27 @@ def _bench_scene(name, scene, n=15, animate=None):
     # rounds 1+ on the same input buffers), which once mis-read as a
     # "config 1 collapsed to 31 fps" regression.
     rounds = []
-    for _ in range(5):
+    for _ in range(6):
         t0 = time.time()
         frames = [step(dyn, positions[i]) for i in range(n)]
         np.asarray(frames[-1][:8, :128])
         rounds.append((time.time() - t0) / n)
-    fps = 1.0 / min(rounds)
+    # Round 0 is excluded from the stats (but kept in round_fps): the first
+    # pipelined batch after compile pays the one-time axon flow-control cost
+    # above, which once mis-read as a regression.
+    timed = rounds[1:]
+    fps = 1.0 / min(timed)
+    median_dt = sorted(timed)[len(timed) // 2]
     faces = sum(m.num_faces for m in scene.models)
     # Per-round fps recorded so contention (isolated slow rounds under the
     # time-shared TPU) is distinguishable from systematic regressions (all
-    # rounds slow) when comparing artifacts round-over-round.
+    # rounds slow) when comparing artifacts round-over-round. `noise` is the
+    # timed-round spread relative to the median: a regression smaller than
+    # it cannot be distinguished from TPU time-sharing contention.
     row = {"config": name, "fps": round(fps, 2),
-           "median_fps": round(1.0 / sorted(rounds)[len(rounds) // 2], 2),
+           "median_fps": round(1.0 / median_dt, 2),
            "mtri_per_s": round(faces * fps / 1e6, 3),
+           "noise": round((max(timed) - min(timed)) / median_dt, 3),
            "round_fps": [round(1.0 / r, 1) for r in rounds]}
     print(json.dumps(row))
     return row

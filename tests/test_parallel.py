@@ -201,3 +201,82 @@ def test_sharded_two_shape_groups_matches_single_chip(shape):
     sharded = np.asarray(sharded)
     same = (single == sharded).all(axis=-1)
     assert same.mean() >= 0.999, f"only {same.mean():.4f} identical"
+
+
+def test_sharded_prepare_quads_compacts_per_shard():
+    """Tris-sharded silhouette compaction: prepare_quads must return
+    PER-SHARD tables (O(E / n_shards) rows per chip, silhouettes compacted
+    into the [:cap] prefix), and the shards' ok rows must partition the
+    global silhouette set exactly — same count and same projected screen
+    geometry as the single-chip tables."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_renderer.ops.pipeline import _cam_matrices
+    from tpu_renderer.ops.shadow import prepare_quads
+    from tpu_renderer.parallel.mesh import TRIS_AXIS
+    from tpu_renderer.parallel.sharded import (dyn_partition_specs,
+                                               pad_models_for_tris, shard_map)
+
+    d = tr.Model.load_model(
+        "/root/reference/obj/diablo3_pose/diablo3_pose.obj")
+    light = tr.Light((5, 5, 0), light_type=tr.Lightning.POINT_LIGHTNING,
+                     center=(0, 0.5, 0.5), ambient_strength=0.1)
+    cam = tr.Camera((0.5, 3, 5), center=(0, 0, 0), fovy=90, near=1e-4,
+                    far=400)
+    scene = tr.Scene(cam, light, shadows=True, resolution=(256, 192),
+                     system=tr.SYSTEM.LH, subsystem=tr.SUBSYSTEM.OPENGL)
+    scene.add_model(d)
+    cfg, dyn = _cfg_dyn(scene)
+    cam_m = _cam_matrices(cfg, dyn["camera"], cfg.cam_projection_type)
+    e_total = sum(mc.num_edges for mc in cfg.models if mc.shadowing)
+
+    # Single-chip reference tables.
+    s1, c1, ok1, n_sil1, cap1 = jax.jit(
+        lambda dd: prepare_quads(cfg, dd, cam_m))(dyn)
+    ok1 = np.asarray(ok1)
+    n_sil1 = int(n_sil1)
+    assert cap1 is not None and n_sil1 <= cap1, "scene must hit compaction"
+
+    n_tris = 4
+    mesh = make_render_mesh(jax.devices()[:n_tris], n_tris=n_tris)
+    dyn_p = pad_models_for_tris(dyn, n_tris, cfg.chunk)
+    caps = {}
+
+    def local(dd, cm):
+        out = prepare_quads(cfg, dd, cm, axis_name=TRIS_AXIS,
+                            shard_idx=jax.lax.axis_index(TRIS_AXIS))
+        caps["cap"] = out[4]
+        return out[:4]
+
+    fn = shard_map(
+        local, mesh,
+        in_specs=(dyn_partition_specs(dyn_p, n_tris),
+                  jax.tree_util.tree_map(lambda _: P(), cam_m)),
+        out_specs=(P(TRIS_AXIS), P(TRIS_AXIS), P(TRIS_AXIS), P()))
+    s4, c4, ok4, n_sil4 = jax.jit(fn)(dyn_p, cam_m)
+    cap4 = caps["cap"]
+    fs = s4.shape[0] // n_tris
+
+    # O(E / n_shards): each shard's whole table is strictly smaller than the
+    # global edge list, and the compacted prefix is smaller still.
+    assert fs < e_total, f"per-shard table {fs} not smaller than E={e_total}"
+    assert cap4 is not None and cap4 < fs
+    assert int(n_sil4) == n_sil1
+
+    ok4 = np.asarray(ok4)
+    # Global silhouette set partitioned exactly once across shards.
+    assert ok4.sum() == ok1.sum() == n_sil1
+    # Compact branch taken (n_sil <= cap4 * n_tris): every ok row must sit
+    # in its shard's [:cap4] prefix.
+    assert n_sil1 <= cap4 * n_tris
+    in_prefix = np.zeros(s4.shape[0], bool)
+    for i in range(n_tris):
+        in_prefix[i * fs:i * fs + cap4] = True
+    assert not (ok4 & ~in_prefix).any(), "ok rows outside compacted prefix"
+    # Identical projected geometry: multiset of ok screen polygons matches
+    # the single-chip tables bit-for-bit (same f32 expressions).
+    rows1 = np.asarray(s1)[ok1].reshape(n_sil1, -1)
+    rows4 = np.asarray(s4)[ok4].reshape(n_sil1, -1)
+    order1 = np.lexsort(rows1.T)
+    order4 = np.lexsort(rows4.T)
+    np.testing.assert_array_equal(rows1[order1], rows4[order4])

@@ -826,28 +826,10 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             if prepared is None:
                 stencil = jnp.zeros((local_height, width), jnp.int32)
             else:
+                # With axis_tris, prepare_quads returned PER-SHARD tables
+                # (each shard clipped/projected only its slice of the global
+                # silhouette-first order); partial stencils psum below.
                 screen, counts, ok, n_sil, sil_cap = prepared
-                if axis_tris:
-                    # Global quad list (silhouettes psum-combined inside
-                    # prepare_quads): each shard rasterizes an even slice,
-                    # partial stencils psum below.
-                    n_sh = jax.lax.axis_size(axis_tris)
-                    e_pad = (-screen.shape[0]) % n_sh
-                    if e_pad:
-                        from tpu_renderer.ops.shadow import QUAD_PMAX
-                        screen = jnp.concatenate(
-                            [screen,
-                             jnp.zeros((e_pad, QUAD_PMAX, 4), screen.dtype)])
-                        counts = jnp.concatenate(
-                            [counts, jnp.zeros(e_pad, counts.dtype)])
-                        ok = jnp.concatenate([ok, jnp.zeros(e_pad, bool)])
-                    size = screen.shape[0] // n_sh
-                    start = jax.lax.axis_index(axis_tris) * size
-                    screen = jax.lax.dynamic_slice_in_dim(screen, start,
-                                                          size, axis=0)
-                    counts = jax.lax.dynamic_slice_in_dim(counts, start,
-                                                          size, axis=0)
-                    ok = jax.lax.dynamic_slice_in_dim(ok, start, size, axis=0)
                 near = dyn["camera"]["near"]
                 far = dyn["camera"]["far"]
 
@@ -859,14 +841,16 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                                           interpret=cfg.pallas_interpret,
                                           row0=row0, zb_sign=zb_sign)
 
-                if axis_tris is None and sil_cap is not None:
+                if sil_cap is not None:
                     # prepare_quads compacted silhouettes into rows [:cap]
-                    # whenever n_sil <= cap: pack + bin + rasterize only that
-                    # prefix (the quad table is ~5x the silhouette count, and
-                    # binning/packing cost scales with rows). The full-table
-                    # branch covers pathological frames.
+                    # (per shard) whenever n_sil <= cap * n_shards: pack +
+                    # bin + rasterize only that prefix (the quad table is
+                    # ~5x the silhouette count, and binning/packing cost
+                    # scales with rows). The full-table branch covers
+                    # pathological frames.
+                    n_sh = jax.lax.axis_size(axis_tris) if axis_tris else 1
                     stencil = jax.lax.cond(
-                        n_sil <= sil_cap,
+                        n_sil <= sil_cap * n_sh,
                         lambda _: _stencil_for(screen[:sil_cap],
                                                counts[:sil_cap],
                                                ok[:sil_cap]),

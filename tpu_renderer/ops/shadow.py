@@ -218,13 +218,23 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
 def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
     """Silhouette -> extruded quads -> world clip -> screen projection.
 
-    Returns (screen (E, QUAD_PMAX, 4), counts (E,), ok (E,), n_sil, cap) or
-    None when no model casts shadows; ``n_sil`` is the traced silhouette
-    count and ``cap`` the static compaction capacity (silhouette rows live in
-    ``screen[:cap]`` whenever ``n_sil <= cap``; None when compaction didn't
-    apply). Shared by the XLA scan rasterizer below and the Pallas stencil
-    kernel (ops/raster_pallas.py), which uses (n_sil, cap) to run its
-    binning + rasterization on the compact prefix.
+    Returns (screen (L, QUAD_PMAX, 4), counts (L,), ok (L,), n_sil, cap) or
+    None when no model casts shadows; ``n_sil`` is the traced GLOBAL
+    silhouette count and ``cap`` the static per-shard compaction capacity
+    (silhouette rows live in ``screen[:cap]`` whenever
+    ``n_sil <= cap * n_shards``; None when compaction didn't apply). Shared
+    by the XLA scan rasterizer below and the Pallas stencil kernel
+    (ops/raster_pallas.py), which use (n_sil, cap) to run their binning +
+    rasterization on the compact prefix.
+
+    With ``axis_name`` set (triangle sharding), the returned tables are
+    per-shard: the globally-identical silhouette-first order (parity counts
+    psum inside silhouette_edges, so every shard sees the same global
+    silhouette) is split evenly over shards and each shard
+    Sutherland–Hodgman-clips + projects ONLY its slice — O(E / n_shards)
+    per chip, O(silhouette / n_shards) in the common compacted case. The
+    stencil rasterizer consumes local tables directly and the caller psums
+    partial stencils; no further splitting is needed.
     """
     light = dyn["light"]
     quads, flags = [], []
@@ -246,66 +256,84 @@ def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
     sil = jnp.concatenate(flags, axis=0)                         # (E,)
     e_total = quad.shape[0]
 
+    n_sh = jax.lax.axis_size(axis_name) if axis_name is not None else 1
+
+    def _prep(quad_sel, sil_sel):
+        padded = jnp.zeros((quad_sel.shape[0], QUAD_PMAX, 4), jnp.float32)
+        padded = padded.at[:, :4].set(quad_sel)
+        counts = jnp.full(quad_sel.shape[0], 4, jnp.int32)
+        planes = cam_m["frustum_planes"]
+        clipped, counts = jax.vmap(
+            lambda v, c: clip_polygon(v, c, planes))(padded, counts)
+        ok = sil_sel & (counts >= 3)
+        # Project to screen: MVP -> /w -> viewport (triangular.py:325-327).
+        ndc = matmul(clipped, cam_m["MVP"])
+        screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
+        return screen, counts, ok
+
     # Compact to silhouette edges before the expensive clip/project stages.
     # Typical silhouettes are ~15-25% of unique edges; a fifth covers normal
     # frames, a third the heavy ones, with a conditional full-list fallback
     # for pathological geometry — lax.cond executes only the taken branch.
-    cap = max(64, -(-e_total // 3 // 64) * 64)
+    # Capacities align to 64 * n_shards so per-shard slices stay 64-aligned.
+    align = 64 * n_sh
+    cap = max(align, -(-e_total // 3 // align) * align)
     n_sil = sil.sum()
-    if axis_name is None and cap < e_total:
-        order = jnp.argsort(~sil, stable=True)
 
-        def _prep(quad_sel, sil_sel):
-            padded = jnp.zeros((quad_sel.shape[0], QUAD_PMAX, 4), jnp.float32)
-            padded = padded.at[:, :4].set(quad_sel)
-            counts = jnp.full(quad_sel.shape[0], 4, jnp.int32)
-            planes = cam_m["frustum_planes"]
-            clipped, counts = jax.vmap(
-                lambda v, c: clip_polygon(v, c, planes))(padded, counts)
-            ok = sil_sel & (counts >= 3)
-            ndc = matmul(clipped, cam_m["MVP"])
-            screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
-            return screen, counts, ok
+    if n_sh == 1 and cap >= e_total:
+        # Small single-chip scene: clip everything, no compaction layer.
+        screen, counts, ok = _prep(quad, sil)
+        return screen, counts, ok, n_sil, None
 
-        def compact_path(cap_k):
-            def path(_):
-                sel = order[:cap_k]
-                screen, counts, ok = _prep(quad[sel], sil[sel])
-                # Pad back to the full-size layout so the cond branches match.
-                pad = e_total - cap_k
-                return (jnp.concatenate(
-                            [screen,
-                             jnp.zeros((pad, QUAD_PMAX, 4), screen.dtype)]),
-                        jnp.concatenate([counts, jnp.zeros(pad, counts.dtype)]),
-                        jnp.concatenate([ok, jnp.zeros(pad, bool)]))
-            return path
+    # Pad the edge list so it splits evenly into 64-aligned shard slices.
+    e_pad_total = -(-e_total // align) * align
+    if e_pad_total > e_total:
+        pad = e_pad_total - e_total
+        quad = jnp.concatenate(
+            [quad, jnp.zeros((pad, 4, 4), quad.dtype)])
+        sil = jnp.concatenate([sil, jnp.zeros(pad, bool)])
+    fs = e_pad_total // n_sh
+    shard = (jax.lax.axis_index(axis_name) if axis_name is not None
+             else 0)
 
-        def full_path(_):
-            return _prep(quad, sil)
+    if cap >= e_total:
+        # Sharded but not worth compacting: each shard clips its raw slab.
+        screen, counts, ok = _prep(
+            jax.lax.dynamic_slice_in_dim(quad, shard * fs, fs),
+            jax.lax.dynamic_slice_in_dim(sil, shard * fs, fs))
+        return screen, counts, ok, n_sil, None
 
-        cap1 = max(64, -(-e_total // 5 // 64) * 64)
-        if cap1 < cap:
-            screen, counts, ok = jax.lax.cond(
-                n_sil <= cap1, compact_path(cap1),
-                lambda _: jax.lax.cond(n_sil <= cap, compact_path(cap),
-                                       full_path, None), None)
-        else:
-            screen, counts, ok = jax.lax.cond(
-                n_sil <= cap, compact_path(cap), full_path, None)
-        return screen, counts, ok, n_sil, cap
+    order = jnp.argsort(~sil, stable=True)                       # global
 
-    padded = jnp.zeros((e_total, QUAD_PMAX, 4), jnp.float32)
-    padded = padded.at[:, :4].set(quad)
-    counts = jnp.full(e_total, 4, jnp.int32)
-    planes = cam_m["frustum_planes"]
-    clipped, counts = jax.vmap(lambda v, c: clip_polygon(v, c, planes))(
-        padded, counts)
-    ok = sil & (counts >= 3)
+    def _sel_prep(start, size):
+        sel = jax.lax.dynamic_slice_in_dim(order, start, size)
+        screen, counts, ok = _prep(quad[sel], sil[sel])
+        pad = fs - size
+        if pad:
+            # Pad back to the per-shard layout so the cond branches match.
+            screen = jnp.concatenate(
+                [screen, jnp.zeros((pad, QUAD_PMAX, 4), screen.dtype)])
+            counts = jnp.concatenate([counts, jnp.zeros(pad, counts.dtype)])
+            ok = jnp.concatenate([ok, jnp.zeros(pad, bool)])
+        return screen, counts, ok
 
-    # Project to screen: MVP -> /w -> viewport (triangular.py:325-327).
-    ndc = matmul(clipped, cam_m["MVP"])
-    screen = matmul(ndc / ndc[..., 3:4], cam_m["viewport"])
-    return screen, counts, ok, n_sil, None
+    def compact_path(cap_k):
+        sck = cap_k // n_sh
+        return lambda _: _sel_prep(shard * sck, sck)
+
+    def full_path(_):
+        return _sel_prep(shard * fs, fs)
+
+    cap1 = max(align, -(-e_total // 5 // align) * align)
+    if cap1 < cap:
+        screen, counts, ok = jax.lax.cond(
+            n_sil <= cap1, compact_path(cap1),
+            lambda _: jax.lax.cond(n_sil <= cap, compact_path(cap),
+                                   full_path, None), None)
+    else:
+        screen, counts, ok = jax.lax.cond(
+            n_sil <= cap, compact_path(cap), full_path, None)
+    return screen, counts, ok, n_sil, cap // n_sh
 
 
 def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
@@ -317,8 +345,11 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
 
     ``row0`` offsets pixel rows for frame-row sharding (the local frame shape
     comes from ``zbuf``; bound-box clamps stay in global coordinates).
-    ``quad_slice`` = (start, size) rasterizes only a contiguous quad subset —
-    the triangle-sharding hook; partial stencils psum over the mesh axis.
+    ``quad_slice`` = (start, size) rasterizes only a contiguous quad subset.
+    With ``axis_name`` set, prepare_quads already returns per-shard tables
+    (each shard clipped/projected only its slice of the global
+    silhouette-first order), so this rasterizes the local table as-is and
+    the caller psums partial stencils over the mesh axis.
     """
     height, width = cfg.resolution
     local_height = zbuf.shape[0]
@@ -330,20 +361,6 @@ def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
     if prepared is None:
         return jnp.zeros((local_height, width), jnp.int32)
     screen, counts, ok = prepared[:3]
-
-    if axis_name is not None and quad_slice is None:
-        # Triangle-sharded mode: every shard sees the same global quad list
-        # (silhouettes were psum-combined); split it evenly so each shard
-        # rasterizes its share and the caller psums partial stencils.
-        n_sh = jax.lax.axis_size(axis_name)
-        e_pad = (-screen.shape[0]) % n_sh
-        if e_pad:
-            screen = jnp.concatenate(
-                [screen, jnp.zeros((e_pad, QUAD_PMAX, 4), screen.dtype)])
-            counts = jnp.concatenate([counts, jnp.zeros(e_pad, counts.dtype)])
-            ok = jnp.concatenate([ok, jnp.zeros(e_pad, bool)])
-        size = screen.shape[0] // n_sh
-        quad_slice = (jax.lax.axis_index(axis_name) * size, size)
 
     if quad_slice is not None:
         start, size = quad_slice

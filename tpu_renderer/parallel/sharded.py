@@ -45,7 +45,8 @@ _FACE_KEYS = ("vid", "pad_valid", "uv", "kd", "ks", "ns", "pm", "pr", "ka",
               "kd_slot", "ks_slot", "norm_slot", "kd_shape", "ks_shape",
               "norm_shape", "norm_tangent", "vn",
               # windowed-sampler metadata (per face; the content table
-              # "windows" replicates — the sampler runs single-chip only)
+              # "windows" replicates across shards — each shard samples its
+              # own faces from the full texture grid)
               "win_wbase", "win_nwr", "win_nwc", "win_rbase", "win_cbase",
               "win_kmask", "win_thw", "win_ngrid",
               "win2_wbase", "win2_nwr", "win2_nwc", "win2_rbase",
