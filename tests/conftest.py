@@ -89,3 +89,36 @@ def reference():
 @pytest.fixture(scope="session")
 def diablo_path():
     return os.path.join(REFERENCE_OBJ, "diablo3_pose", "diablo3_pose.obj")
+
+
+CACHE_DIR = os.path.join(os.path.dirname(__file__), "_ref_cache")
+
+
+@pytest.fixture(scope="session")
+def ref_render():
+    """Disk cache for executed-reference oracle frames.
+
+    The NumPy reference costs seconds-to-minutes per frame and dominates the
+    suite's wall time; the oracle scenes are deterministic, so repeat runs
+    re-compute identical frames. ``ref_render(name, key, fn)`` returns the
+    cached frame for (name, key) or executes ``fn`` once and stores the
+    result under tests/_ref_cache/. The key must include every parameter the
+    oracle scene depends on — any change hashes to a new file and forces a
+    fresh reference execution. Delete tests/_ref_cache/ to re-execute
+    everything (e.g. after a NumPy upgrade that could change the oracle).
+    """
+    import hashlib
+    import json
+
+    def get(name, key, fn):
+        blob = json.dumps(key, sort_keys=True, default=repr)
+        h = hashlib.sha1(blob.encode()).hexdigest()[:16]
+        path = os.path.join(CACHE_DIR, f"{name}_{h}.npy")
+        if os.path.exists(path):
+            return np.load(path)
+        out = np.asarray(fn())
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        np.save(path, out)
+        return out
+
+    return get

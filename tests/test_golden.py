@@ -101,11 +101,16 @@ CAM_KW = dict(position=(0.5, 3, 5), center=(0, 0, 0), fovy=90, near=0.0001,
     ("textured_point", True, tr.Lightning.POINT_LIGHTNING),
     ("textured_spot", True, tr.Lightning.SPOT_LIGHTNING),
 ])
-def test_golden_diablo(reference, name, textures, light_type):
+def test_golden_diablo(reference, ref_render, name, textures, light_type):
     ours = _build_ours(LIGHT_KW, CAM_KW, textures=textures,
                        light_type=light_type).render()
-    ref = _build_reference(reference, LIGHT_KW, CAM_KW, textures=textures,
-                           light_type=light_type).render()
+    ref = ref_render(
+        f"diablo_{name}",
+        dict(light=LIGHT_KW, cam=CAM_KW, textures=textures,
+             light_type=light_type.name, res=RES),
+        lambda: _build_reference(reference, LIGHT_KW, CAM_KW,
+                                 textures=textures,
+                                 light_type=light_type).render())
     compare(ours, ref, name)
 
 
@@ -114,7 +119,7 @@ DEBUG_CAM_KW = dict(position=(0, 3, 0.01), center=(0, 0, 0), fovy=80, near=1,
                     projection_type=tr.PROJECTION_TYPE.PERSPECTIVE)
 
 
-def test_golden_frustum_overlay(reference):
+def test_golden_frustum_overlay(reference, ref_render):
     """Distinct debug camera: its wireframe frustum + clipping appear in-frame
     (reference main.py:84-92 camera2 + frustums.py overlay)."""
     model = tr.Model.load_model(os.path.join(DIABLO_DIR, "diablo3_pose.obj"))
@@ -125,32 +130,41 @@ def test_golden_frustum_overlay(reference):
     scene.add_model(model)
     ours = scene.render()
 
-    ref_model = reference.core.Model.load_model(
-        os.path.join(DIABLO_DIR, "diablo3_pose.obj"))
-    ref_light = reference.core.Light(
-        light_type=reference.Lightning.DIRECTIONAL_LIGHTNING, **LIGHT_KW)
-    ref_scene = reference.core.Scene(
-        reference.core.Camera(**CAM_KW), ref_light, shadows=True,
-        debug_camera=reference.core.Camera(**DEBUG_CAM_KW), resolution=RES,
-        system=reference.transformation.SYSTEM.LH,
-        subsystem=reference.transformation.SUBSYSTEM.OPENGL)
-    ref_scene.add_model(ref_model)
-    ref = ref_scene.render()
+    def _ref():
+        ref_model = reference.core.Model.load_model(
+            os.path.join(DIABLO_DIR, "diablo3_pose.obj"))
+        ref_light = reference.core.Light(
+            light_type=reference.Lightning.DIRECTIONAL_LIGHTNING, **LIGHT_KW)
+        ref_scene = reference.core.Scene(
+            reference.core.Camera(**CAM_KW), ref_light, shadows=True,
+            debug_camera=reference.core.Camera(**DEBUG_CAM_KW),
+            resolution=RES,
+            system=reference.transformation.SYSTEM.LH,
+            subsystem=reference.transformation.SUBSYSTEM.OPENGL)
+        ref_scene.add_model(ref_model)
+        return ref_scene.render()
+
+    ref = ref_render("frustum_overlay",
+                     dict(light=LIGHT_KW, cam=CAM_KW, dbg=DEBUG_CAM_KW,
+                          res=RES), _ref)
     # Thin anti-aliased lines can shift by a pixel between f32 and f64 DDA.
     compare(ours, ref, "frustum_overlay", good_frac=0.95, mean_tol=3.0)
 
 
-def test_golden_backface_culling(reference):
+def test_golden_backface_culling(reference, ref_render):
     cam = dict(CAM_KW, backface_culling=True)
     ours = _build_ours(LIGHT_KW, cam, textures=False,
                        light_type=tr.Lightning.DIRECTIONAL_LIGHTNING).render()
-    ref = _build_reference(reference, LIGHT_KW, cam, textures=False,
-                           light_type=tr.Lightning.DIRECTIONAL_LIGHTNING).render()
+    ref = ref_render(
+        "backface", dict(light=LIGHT_KW, cam=cam, textures=False, res=RES),
+        lambda: _build_reference(
+            reference, LIGHT_KW, cam, textures=False,
+            light_type=tr.Lightning.DIRECTIONAL_LIGHTNING).render())
     compare(ours, ref, "backface")
 
 
 @pytest.mark.slow
-def test_golden_production_512_textured_shadowed(reference):
+def test_golden_production_512_textured_shadowed(reference, ref_render):
     """Production-resolution fidelity: 512^2 textured diablo with shadows vs
     the executed oracle, with the windowed texture sampler FORCED on — pins
     the bench-scale path (tile boundaries, chunk streaming, window coverage)
@@ -160,7 +174,11 @@ def test_golden_production_512_textured_shadowed(reference):
                         resolution=(512, 512))
     scene.tex_kernel = True
     ours = scene.render()
-    ref = _build_reference(reference, LIGHT_KW, CAM_KW, textures=True,
-                           light_type=tr.Lightning.POINT_LIGHTNING,
-                           resolution=(512, 512)).render()
+    ref = ref_render(
+        "production_512",
+        dict(light=LIGHT_KW, cam=CAM_KW, textures=True, light_type="POINT",
+             res=(512, 512)),
+        lambda: _build_reference(reference, LIGHT_KW, CAM_KW, textures=True,
+                                 light_type=tr.Lightning.POINT_LIGHTNING,
+                                 resolution=(512, 512)).render())
     compare(ours, ref, "production_512")

@@ -50,21 +50,28 @@ def _scenes(reference, skymap_ref, skymap_ours, cam_extra=None):
     return scene, ref_scene
 
 
-def test_golden_skybox(reference):
+def test_golden_skybox(reference, ref_render):
     # Must build the CubeMap from the class object core.py imported —
     # isinstance() in Scene.render (core.py:595) checks module identity.
     scene, ref_scene = _scenes(reference,
                                reference.core.CubeMap(**SKYBOX),
                                tr.CubeMap(**SKYBOX))
-    compare(scene.render(), ref_scene.render(), "skybox")
+    ref = ref_render("skybox",
+                     dict(light=LIGHT_KW, cam=CAM_KW, sky=SKYBOX, res=RES),
+                     ref_scene.render)
+    compare(scene.render(), ref, "skybox")
 
 
-def test_golden_solid_background(reference):
+def test_golden_solid_background(reference, ref_render):
     scene, ref_scene = _scenes(reference, [0.1, 0.2, 0.3], [0.1, 0.2, 0.3])
-    compare(scene.render(), ref_scene.render(), "solid_bg")
+    ref = ref_render("solid_bg",
+                     dict(light=LIGHT_KW, cam=CAM_KW, bg=[0.1, 0.2, 0.3],
+                          res=RES),
+                     ref_scene.render)
+    compare(scene.render(), ref, "solid_bg")
 
 
-def test_golden_orthographic(reference):
+def test_golden_orthographic(reference, ref_render):
     extra = dict(projection_type=tr.PROJECTION_TYPE.ORTHOGRAPHIC,
                  position=(0.5, 1.0, 2.0), fovy=30)
     scene, ref_scene = _scenes(reference, None, None, cam_extra=extra)
@@ -88,7 +95,8 @@ def test_golden_orthographic(reference):
     # assertion below pins that bound: every deviating pixel must lie on a
     # tid edge, a shadow boundary, or inside the shadow band.
     ours = scene.render()
-    ref = ref_scene.render()
+    ref = ref_render("ortho", dict(light=LIGHT_KW, cam=CAM_KW, extra=extra,
+                                   res=RES), ref_scene.render)
     compare(ours, ref, "ortho", good_frac=0.995, mean_tol=0.2)
 
     B = 5
@@ -112,7 +120,7 @@ def test_golden_orthographic(reference):
         f"classes at {np.argwhere(stray)[:5]}")
 
 
-def test_golden_mtl_cube(reference):
+def test_golden_mtl_cube(reference, ref_render):
     """cube.obj loads its MTL (container texture) — per-material maps."""
     cam_kw = dict(position=(1.5, 1.5, 2.5), center=(0.5, 0.5, 0.5), fovy=60,
                   near=0.01, far=50, backface_culling=True)
@@ -137,10 +145,12 @@ def test_golden_mtl_cube(reference):
         resolution=RES, system=reference.transformation.SYSTEM.LH,
         subsystem=reference.transformation.SUBSYSTEM.OPENGL)
     ref_scene.add_model(ref_model)
-    compare(scene.render(), ref_scene.render(), "mtl_cube")
+    ref = ref_render("mtl_cube", dict(cam=cam_kw, path=path, res=RES),
+                     ref_scene.render)
+    compare(scene.render(), ref, "mtl_cube")
 
 
-def test_golden_chained_transforms_multimodel(reference):
+def test_golden_chained_transforms_multimodel(reference, ref_render):
     """Two models with @-chained scale/translation/rotate transforms
     (BASELINE config 4; reference core.py:350-352, main.py:43-62)."""
     cam_kw = dict(position=(1.5, 2.0, 3.5), center=(0, 0, 0), fovy=70,
@@ -173,11 +183,13 @@ def test_golden_chained_transforms_multimodel(reference):
         subsystem=rt.SUBSYSTEM.OPENGL)
     ref_scene.add_model(rd)
     ref_scene.add_model(rc)
-    compare(scene.render(), ref_scene.render(), "chained_multimodel")
+    ref = ref_render("chained_multimodel", dict(cam=cam_kw, res=RES),
+                     ref_scene.render)
+    compare(scene.render(), ref, "chained_multimodel")
 
 
 @pytest.mark.parametrize("system_name", ["LH", "RH"])
-def test_golden_directx_subsystem(reference, system_name):
+def test_golden_directx_subsystem(reference, ref_render, system_name):
     """DirectX projection family x handedness (transformation.py:346-352)."""
     system = getattr(tr.SYSTEM, system_name)
     ref_system = getattr(reference.transformation.SYSTEM, system_name)
@@ -206,4 +218,8 @@ def test_golden_directx_subsystem(reference, system_name):
         resolution=RES, system=ref_system,
         subsystem=reference.transformation.SUBSYSTEM.DIRECTX)
     ref_scene.add_model(ref_model)
-    compare(scene.render(), ref_scene.render(), f"directx_{system_name}")
+    ref = ref_render(f"directx_{system_name}",
+                     dict(light=LIGHT_KW, cam=cam_kw, dbg=dbg_kw,
+                          system=system_name, res=RES),
+                     ref_scene.render)
+    compare(scene.render(), ref, f"directx_{system_name}")

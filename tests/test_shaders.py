@@ -129,13 +129,16 @@ def _ours_alt_scene(shader, *, backface_culling=False, system=tr.SYSTEM.LH,
 
 @pytest.mark.parametrize("shader,scale", [("flat", 255.0), ("gouraud", 255.0),
                                           ("pbr", 1.0)])
-def test_alt_shader_golden_vs_reference(reference, shader, scale):
+def test_alt_shader_golden_vs_reference(reference, ref_render, shader, scale):
     """flat / gouraud / pbr end-to-end against the executed reference
     (triangular.py:174-182, 220-266): pre-flip float frames, normalized by
     the shader's write scale, must agree within 2/255 on >=99.5% of pixels."""
     from tpu_renderer.ops.pipeline import render_core_jit
 
-    ref = _render_reference_alt(reference, shader) / scale
+    ref = ref_render(
+        f"alt_{shader}",
+        dict(shader=shader, cam=ALT_CAM, light=ALT_LIGHT, res=ALT_RES),
+        lambda: _render_reference_alt(reference, shader)) / scale
     cfg, dyn = _ours_alt_scene(shader)._prepare()
     ours = np.asarray(render_core_jit(cfg, dyn)[0]) / scale
 
@@ -148,7 +151,7 @@ def test_alt_shader_golden_vs_reference(reference, shader, scale):
     assert mean * 255 <= 0.5
 
 
-def test_wireframe_golden_vs_reference(reference):
+def test_wireframe_golden_vs_reference(reference, ref_render):
     """Wireframe end-to-end: the painted-pixel mask vs the executed reference
     (triangular.py:269-274). Colors are compared as masks: the reference
     writes raw (64, 64, 128) into the float frame (its final uint8 cast then
@@ -160,8 +163,12 @@ def test_wireframe_golden_vs_reference(reference):
     _render_reference_alt) keeps the comparison order-free; remaining
     deviation is f32 (device DDA) vs f64 (host) truncation flips on a thin
     set of boundary pixels."""
-    ref = _render_reference_alt(reference, "wireframe", system=tr.SYSTEM.RH,
-                                cam=ALT_CAM_RH)
+    ref = ref_render(
+        "alt_wireframe",
+        dict(shader="wireframe", system="RH", cam=ALT_CAM_RH,
+             light=ALT_LIGHT, res=ALT_RES),
+        lambda: _render_reference_alt(reference, "wireframe",
+                                      system=tr.SYSTEM.RH, cam=ALT_CAM_RH))
     ref_mask = (ref == np.array([64, 64, 128], np.float32)).all(-1)
 
     ours = _ours_alt_scene("wireframe", system=tr.SYSTEM.RH,
@@ -185,7 +192,7 @@ def test_wireframe_golden_vs_reference(reference):
     assert extra_ours <= 0.15 * our_mask.sum()
 
 
-def test_points_golden_vs_reference(reference):
+def test_points_golden_vs_reference(reference, ref_render):
     """Points end-to-end vs the executed reference (triangular.py:277-283):
     red/blue endpoint splats as masks (same wrap-vs-clip quantization note
     as the wireframe golden). The reference side runs points_only over its
@@ -193,8 +200,12 @@ def test_points_golden_vs_reference(reference):
     through rasterize would coverage-gate the shader), so the face set and
     write order are identical on both sides; remaining deviation is
     f32-vs-f64 truncation on vertex pixel coordinates."""
-    ref = _render_reference_alt(reference, "points", system=tr.SYSTEM.RH,
-                                cam=ALT_CAM_RH)
+    ref = ref_render(
+        "alt_points",
+        dict(shader="points", system="RH", cam=ALT_CAM_RH, light=ALT_LIGHT,
+             res=ALT_RES),
+        lambda: _render_reference_alt(reference, "points",
+                                      system=tr.SYSTEM.RH, cam=ALT_CAM_RH))
     ours = _ours_alt_scene("points", system=tr.SYSTEM.RH,
                            cam=ALT_CAM_RH).render()[::-1]
 

@@ -152,3 +152,43 @@ def test_diablo_textured_shadowed_windows():
     s.add_model(d)
     s.add_model(floor)
     _compare(s, [("kd", "norm"), ("kd",)])
+
+
+def test_mixed_window_layouts_keep_sampler(monkeypatch):
+    """One model past the grid budget must NOT demote the whole scene to the
+    XLA gather path: grid-layout models keep the in-kernel sampler while the
+    oversized one gathers (pipeline.sampler_excluded_models). The mixed
+    frame must stay bit-compatible with the all-gather frame."""
+    from tpu_renderer.models import scene as scene_mod
+    from tpu_renderer.models.gizmos import make_cube, make_floor
+    from tpu_renderer.ops.pipeline import sampler_excluded_models
+
+    # Budget between the cube's small grid (a few cells) and the floor's
+    # 512^2 texture grid (64 cells ~ 0.5 MB): the floor falls back to the
+    # per-face DMA layout -> mixed-layout scene.
+    monkeypatch.setattr(scene_mod, "_GRID_BUDGET", 100_000)
+
+    cube = make_cube(1.0)
+    rng = np.random.default_rng(5)
+    dt = np.dtype(np.float32, metadata={"tangent": False})
+    for m in cube.materials.values():
+        m.map_Kd = np.asarray(rng.random((32, 256, 3)), dtype=dt)
+    cube.bump_version()
+    floor = make_floor(2.0, y=-0.6)
+    floor.textures.register("diffuse", f"{BASE}/floor_diffuse.tga",
+                            normalize=False)
+    cam = tr.Camera((2, 2.5, 4), center=(0, 0, 0), fovy=60, near=0.01,
+                    far=50)
+    s = tr.Scene(cam, tr.Light((3, 4, 2), ambient_strength=0.2),
+                 resolution=(192, 192), system=tr.SYSTEM.LH,
+                 subsystem=tr.SUBSYSTEM.OPENGL, backend="pallas")
+    s.add_model(cube)
+    s.add_model(floor)
+
+    cfg, dyn = s._prepare()
+    assert cfg.models[0].win_grid, "cube should keep the grid layout"
+    assert cfg.models[1].win_kinds and not cfg.models[1].win_grid, \
+        "floor should have fallen back to the DMA layout"
+    assert sampler_excluded_models(cfg.models) == frozenset({1})
+    assert "windows_all" in dyn, "grid models' window table must survive"
+    _compare(s, [("kd",), ("kd",)])

@@ -652,8 +652,17 @@ class Scene:
         inside the frame program costs ~0.5 ms.
 
         Returns ``(table | None, offsets)`` with ``offsets[i]`` the global
-        window base of packet i (0 for untextured models)."""
-        n_kinds = max((len(p["_config"].win_kinds) for p in packets),
+        window base of packet i (0 for untextured models). Mixed window
+        layouts (some models shared-cell grid, some per-face DMA): only the
+        grid models' blocks enter the table — the DMA-layout models fall
+        back to the XLA gather path (pipeline.sampler_excluded_models, which
+        also neutralizes their per-face window metadata)."""
+        from tpu_renderer.ops.pipeline import sampler_excluded_models
+
+        excluded = sampler_excluded_models(
+            [p["_config"] for p in packets])
+        kept = [p for i, p in enumerate(packets) if i not in excluded]
+        n_kinds = max((len(p["_config"].win_kinds) for p in kept),
                       default=0)
         if n_kinds == 0:
             return None, [0] * len(packets)
@@ -670,8 +679,8 @@ class Scene:
         offsets = []
         base_by_id = {}
         off = 0
-        for p in packets:
-            if not p["_config"].win_kinds:
+        for i, p in enumerate(packets):
+            if not p["_config"].win_kinds or i in excluded:
                 offsets.append(0)
                 continue
             w = p["windows"]

@@ -111,6 +111,25 @@ def _cam_matrices(cfg: SceneConfig, cam, projection_type):
         subsystem=cfg.subsystem, resolution=cfg.resolution)
 
 
+def sampler_excluded_models(models):
+    """Indices of textured models the in-kernel windowed sampler skips.
+
+    The sampler runs ONE window-table layout per scene: the shared-cell
+    grid (default) or the per-face DMA windows. When a scene mixes layouts
+    (e.g. one model's texture exceeds the grid budget — scene.py
+    _GRID_BUDGET — while the others fit), the grid models KEEP the sampler
+    and only the DMA-layout models fall back to the per-pixel XLA gather:
+    their faces' window metadata is neutralized in _build_face_batch, their
+    blocks are dropped from the scene window table (Scene._windows_all),
+    and _shade_gbuffer shades them through the gather branch. Uniform
+    scenes return the empty set (everything sampled)."""
+    texm = [(i, mc) for i, mc in enumerate(models) if mc.win_kinds]
+    grids = [mc.win_grid for _, mc in texm]
+    if not texm or all(grids) or not any(grids):
+        return frozenset()
+    return frozenset(i for i, mc in texm if not mc.win_grid)
+
+
 def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
     """Vertex stage + per-face gathers for every model, concatenated.
 
@@ -125,7 +144,8 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
     raster_parts = []
     attr_parts = []
     win_offset = 0
-    for mc, md in zip(cfg.models, dyn["models"]):
+    excluded = sampler_excluded_models(cfg.models)
+    for m_i, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
         verts = md["verts"]
         va = transform_vertices(verts, cam_m["MVP"], cam_m["viewport"],
                                 dyn["camera"]["near"], dyn["camera"]["far"])
@@ -163,23 +183,37 @@ def _build_face_batch(cfg: SceneConfig, dyn, cam_m, dbg_mvp, tris_idx=0):
         # its block sits right after group 1's inside the model's region.
         if mc.win_offset >= 0:
             win_offset = mc.win_offset
-        raster["wbase"] = md["win_wbase"] + win_offset
-        raster["wnwr"] = md["win_nwr"]
-        raster["wnwc"] = md["win_nwc"]
-        raster["wrbase"] = md["win_rbase"]
-        raster["wcbase"] = md["win_cbase"]
-        raster["wkmask"] = md["win_kmask"]
-        raster["wthw"] = md["win_thw"]
-        raster["wbase2"] = md["win2_wbase"] + win_offset
-        raster["wnwr2"] = md["win2_nwr"]
-        raster["wnwc2"] = md["win2_nwc"]
-        raster["wrbase2"] = md["win2_rbase"]
-        raster["wcbase2"] = md["win2_cbase"]
-        raster["wkmask2"] = md["win2_kmask"]
-        raster["wthw2"] = md["win2_thw"]
-        raster["wngrid"] = md["win_ngrid"]
-        raster["wngrid2"] = md["win2_ngrid"]
-        win_offset += mc.num_windows
+        if m_i in excluded:
+            # Mixed-layout fallback: this model's windows are not in the
+            # scene table — neutralize its face metadata (the same encoding
+            # untextured models carry) so the kernel never visits windows
+            # for its faces; _shade_gbuffer gathers its texels instead.
+            zeros = jnp.zeros_like(md["win_wbase"])
+            ones2 = jnp.ones_like(md["win_thw"])
+            for kname in ("wbase", "wnwr", "wnwc", "wrbase", "wcbase",
+                          "wkmask", "wbase2", "wnwr2", "wnwc2", "wrbase2",
+                          "wcbase2", "wkmask2"):
+                raster[kname] = zeros
+            for kname in ("wthw", "wthw2", "wngrid", "wngrid2"):
+                raster[kname] = ones2
+        else:
+            raster["wbase"] = md["win_wbase"] + win_offset
+            raster["wnwr"] = md["win_nwr"]
+            raster["wnwc"] = md["win_nwc"]
+            raster["wrbase"] = md["win_rbase"]
+            raster["wcbase"] = md["win_cbase"]
+            raster["wkmask"] = md["win_kmask"]
+            raster["wthw"] = md["win_thw"]
+            raster["wbase2"] = md["win2_wbase"] + win_offset
+            raster["wnwr2"] = md["win2_nwr"]
+            raster["wnwc2"] = md["win2_nwc"]
+            raster["wrbase2"] = md["win2_rbase"]
+            raster["wcbase2"] = md["win2_cbase"]
+            raster["wkmask2"] = md["win2_kmask"]
+            raster["wthw2"] = md["win2_thw"]
+            raster["wngrid"] = md["win_ngrid"]
+            raster["wngrid2"] = md["win2_ngrid"]
+            win_offset += mc.num_windows
 
         attrs = {
             "sx": f["sx"], "sy": f["sy"], "inv_w": f["inv_w"],
@@ -379,9 +413,12 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0,
         row = _wrap_index((1.0 - jnp.clip(iv, max=1.0)) * (th - 1), th)
         return row, col
 
-    def kernel_sampled(mc, md, kind):
-        """Sampled RGB + mask from the windowed sampler, or None."""
-        if samp is None or kind not in mc.win_kinds:
+    excluded = sampler_excluded_models(cfg.models)
+
+    def kernel_sampled(m, mc, md, kind):
+        """Sampled RGB + mask from the windowed sampler, or None (models a
+        mixed window layout excluded from the sampler gather instead)."""
+        if samp is None or m in excluded or kind not in mc.win_kinds:
             return None
         k = mc.win_kinds.index(kind)
         rgb = _unpack_texel(samp[k], md[f"{kind}_scale_off"])
@@ -391,7 +428,7 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0,
     for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
         if not mc.has_map_kd:
             continue
-        ks = kernel_sampled(mc, md, "kd")
+        ks = kernel_sampled(m, mc, md, "kd")
         if ks is not None:
             sampled, sel = ks
             mask = (model_id == m) & sel
@@ -408,7 +445,7 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0,
     for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
         if not mc.has_norm:
             continue
-        ks = kernel_sampled(mc, md, "norm")
+        ks = kernel_sampled(m, mc, md, "norm")
         if ks is not None:
             sampled, sel = ks
             mask = (model_id == m) & sel
@@ -430,7 +467,7 @@ def _shade_gbuffer(cfg: SceneConfig, dyn, tid, stencil, gb, cam_m, row0=0,
     for m, (mc, md) in enumerate(zip(cfg.models, dyn["models"])):
         if not mc.has_map_ks:
             continue
-        ks = kernel_sampled(mc, md, "ks")
+        ks = kernel_sampled(m, mc, md, "ks")
         if ks is not None:
             sampled, sel = ks
             mask = (model_id == m) & sel
@@ -575,18 +612,22 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
     # not silently flip with the shard count (per-visit cost is resolution-
     # independent, so the global frame is the right economic unit).
     from tpu_renderer.ops import raster_pallas as rp
-    n_kinds = max((len(mc.win_kinds) for mc in cfg.models), default=0)
     use_tex_kernel = (cfg.tex_kernel if cfg.tex_kernel is not None
                       else height * width >= 512 * 512)
     samp = samp_mask = None
-    # Window-table layout must be uniform across the scene's textured
-    # models (one shared table, one kernel mode): all shared-cell grid
+    # Window-table layout must be uniform across the models the sampler
+    # covers (one shared table, one kernel mode): all shared-cell grid
     # (VMEM-resident, the default) or all per-face DMA windows. A mix
-    # (e.g. one model's texture exceeds the grid budget) falls back to the
-    # XLA gather path — bit-identical, slower.
-    _texm = [mc for mc in cfg.models if mc.win_kinds]
+    # (e.g. one model's texture exceeds the grid budget) keeps the sampler
+    # for the grid-layout models and drops ONLY the odd ones to the XLA
+    # gather path (sampler_excluded_models) — bit-identical either way.
+    excluded = sampler_excluded_models(cfg.models)
+    _texm = [mc for i, mc in enumerate(cfg.models)
+             if mc.win_kinds and i not in excluded]
+    n_kinds = max((len(mc.win_kinds) for mc in _texm), default=0)
     win_grid = bool(_texm) and all(mc.win_grid for mc in _texm)
-    grid_mixed = any(mc.win_grid for mc in _texm) and not win_grid
+    two_groups = any(mc.win2 for i, mc in enumerate(cfg.models)
+                     if i not in excluded)
 
     from tpu_renderer.ops.raster_xla import visibility_pass, zbuffer_pass
     rows_only = axis_tris is None
@@ -638,17 +679,17 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         # The in-kernel sampler rides its per-face scalars in SMEM (word2);
         # meshes past SMEM_FACE_CAP (raster_pallas) fall back to the XLA
         # gather path rather than overflow scalar memory.
-        sampler_on = (n_kinds > 0 and use_tex_kernel and not grid_mixed
+        sampler_on = (n_kinds > 0 and use_tex_kernel
                       and faces["sx"].shape[0] <= rp.SMEM_FACE_CAP)
         # With the windowed sampler active, every windowed kind skips the
         # XLA gather, so phase 1 needn't interpolate the slot/shape table
         # channels — unless some model has a texture kind the sampler
-        # doesn't cover.
+        # doesn't cover (including models excluded by a mixed layout).
         needs_tables = (not sampler_on) or any(
             (mc.has_map_kd and "kd" not in mc.win_kinds)
             or (mc.has_norm and "norm" not in mc.win_kinds)
             or (mc.has_map_ks and "ks" not in mc.win_kinds)
-            for mc in cfg.models)
+            for mc in cfg.models) or bool(excluded)
         windows = None
         if sampler_on:
             # Window content blocks, row-padded to the scene-wide kind count
@@ -659,8 +700,9 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             windows = dyn.get("windows_all")
             if windows is None:
                 parts = []
-                for mc, md in zip(cfg.models, dyn["models"]):
-                    if not mc.win_kinds:
+                for m_i, (mc, md) in enumerate(zip(cfg.models,
+                                                   dyn["models"])):
+                    if not mc.win_kinds or m_i in excluded:
                         continue
                     w = md["windows"]
                     if w.shape[1] < rp.WIN_R * n_kinds:
@@ -695,7 +737,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
             with_tex_tables=needs_tables, windows=windows,
             n_kinds=n_kinds if windows is not None else 0, row0=row0,
-            two_groups=any(mc.win2 for mc in cfg.models), win_grid=win_grid)
+            two_groups=two_groups, win_grid=win_grid)
         if split:
             from tpu_renderer.ops.raster_pallas import (phase1_keep,
                                                         visibility_pallas)
@@ -772,7 +814,6 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 # ids are unique): zero-filled partials sum to the merge.
                 gbuffer = jax.lax.psum(gbuffer, axis_tris)
             if use_gbuffer and n_kinds > 0 and use_tex_kernel \
-                    and not grid_mixed \
                     and faces["sx"].shape[0] <= rp.SMEM_FACE_CAP:
                 # Windowed sampling over the merged buffers: each shard
                 # samples only the pixels its own faces won (win = tid ==
@@ -786,8 +827,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                         faces, bins[:2], windows, tid, gbuffer[GB_IU],
                         gbuffer[GB_IV], local_height, width, n_kinds,
                         interpret=cfg.pallas_interpret,
-                        two_groups=any(mc.win2 for mc in cfg.models),
-                        win_grid=win_grid)
+                        two_groups=two_groups, win_grid=win_grid)
                     if axis_tris:
                         samp = jax.lax.psum(samp, axis_tris)
                         samp_mask = jax.lax.psum(samp_mask, axis_tris)
