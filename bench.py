@@ -405,6 +405,42 @@ def bench_all():
                       "pallas_xla_match": row5["pallas_xla_match"]}))
     rows.append(row5)
 
+    # 6: heterogeneous scene — TEN distinct textured models (distinct
+    # texture stacks + window grids), 512². Exercises the per-model
+    # where-chains in _shade_gbuffer and the shared sampler table across
+    # many models (VERDICT r4 #5: model-count scaling). Compile time is
+    # recorded: program size grows with the per-model select depth.
+    import tempfile
+
+    from PIL import Image
+
+    from tpu_renderer.utils.objwrite import write_textured_box
+
+    tmp = tempfile.mkdtemp(prefix="bench_ten_")
+    s6 = tr.Scene(tr.Camera((0.1, 2.2, 3.6), center=(0, 0, -0.4), fovy=65,
+                            near=0.0001, far=400),
+                  tr.Light((3, 5, 2), ambient_strength=0.15),
+                  shadows=True, resolution=(512, 512), system=tr.SYSTEM.LH,
+                  subsystem=tr.SUBSYSTEM.OPENGL)
+    rng = np.random.default_rng(7)
+    for i in range(10):
+        tex = os.path.join(tmp, f"tex{i}.png")
+        base = np.array([(i * 53) % 256, (i * 97 + 80) % 256,
+                         (255 - i * 23) % 256], np.float64)
+        img = np.clip(base * (0.55 + 0.45 * rng.random((48, 48, 1))), 0,
+                      255).astype(np.uint8)
+        Image.fromarray(img).save(tex)
+        r, c = divmod(i, 5)
+        p = write_textured_box(os.path.join(tmp, f"box{i}.obj"), tex,
+                               size=0.62,
+                               center=((c - 2) * 0.8, 0.35 * r - 0.2,
+                                       -0.6 * r))
+        s6.add_model(tr.Model.load_model(p))
+    t0 = time.time()
+    row6 = _bench_scene("6: ten distinct textured models 512 shadows", s6)
+    row6["compile_plus_bench_s"] = round(time.time() - t0, 1)
+    rows.append(row6)
+
     path = _bench_all_artifact()
     with open(path, "w") as f:
         json.dump(rows, f, indent=1)

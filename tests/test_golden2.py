@@ -223,3 +223,81 @@ def test_golden_directx_subsystem(reference, ref_render, system_name):
                           system=system_name, res=RES),
                      ref_scene.render)
     compare(scene.render(), ref, f"directx_{system_name}")
+
+
+def _write_ten_boxes(tmp_path):
+    """Ten distinct textured box OBJs (our objwrite exporter), loadable by
+    both loaders: bright per-model procedural textures (distinct hue +
+    seeded noise, so a stack/slot mixup across models is visible), 2x5
+    grid."""
+    from PIL import Image
+
+    from tpu_renderer.utils.objwrite import write_textured_box
+
+    paths = []
+    for i in range(10):
+        tex = os.path.join(tmp_path, f"tex{i}.png")
+        rng = np.random.default_rng(100 + i)
+        base = np.array([(i * 53) % 256, (i * 97 + 80) % 256,
+                         (255 - i * 23) % 256], np.float64)
+        img = np.clip(base * (0.55 + 0.45 * rng.random((48, 48, 1))), 0,
+                      255).astype(np.uint8)
+        Image.fromarray(img).save(tex)
+        r, c = divmod(i, 5)
+        center = ((c - 2) * 0.8, 0.35 * r - 0.2, -0.6 * r)
+        paths.append(write_textured_box(
+            os.path.join(tmp_path, f"box{i}.obj"), tex, size=0.62,
+            center=center))
+    return paths
+
+
+# near/far chosen like CAM_KW so the identical debug camera's frustum
+# overlay lands on the screen border (excluded by compare()'s interior).
+TEN_CAM = dict(position=(0.1, 2.2, 3.6), center=(0, 0, -0.4), fovy=65,
+               near=0.0001, far=400, backface_culling=False)
+
+
+def test_golden_ten_distinct_models(reference, ref_render, tmp_path):
+    """Heterogeneous-scene scaling (10 distinct textured models): the
+    per-model where-chains in _shade must keep reference parity, and the
+    Pallas G-buffer path (per-model texture stacks + sampler loops) must
+    match the XLA backend."""
+    import dataclasses
+
+    from tpu_renderer.ops.pipeline import render_frame
+
+    paths = _write_ten_boxes(str(tmp_path))
+
+    scene = tr.Scene(tr.Camera(**TEN_CAM),
+                     tr.Light((3, 5, 2), ambient_strength=0.15),
+                     shadows=True, debug_camera=tr.Camera(**TEN_CAM),
+                     resolution=RES, system=tr.SYSTEM.LH,
+                     subsystem=tr.SUBSYSTEM.OPENGL)
+    for p in paths:
+        scene.add_model(tr.Model.load_model(p))
+    ours = scene.render()
+
+    def _ref():
+        ref_scene = reference.core.Scene(
+            reference.core.Camera(**TEN_CAM),
+            reference.core.Light((3, 5, 2), ambient_strength=0.15),
+            shadows=True, debug_camera=reference.core.Camera(**TEN_CAM),
+            resolution=RES, system=reference.transformation.SYSTEM.LH,
+            subsystem=reference.transformation.SUBSYSTEM.OPENGL)
+        for p in paths:
+            ref_scene.add_model(reference.core.Model.load_model(p))
+        return ref_scene.render()
+
+    # Key on the box/texture recipe, not tmp_path (fresh every run).
+    ref = ref_render("ten_models", dict(cam=TEN_CAM, res=RES, n=10,
+                                        boxes="imgpng-64-grid2x5-v1"), _ref)
+    compare(ours, ref, "ten_models")
+
+    # Pallas G-buffer path with 10 distinct texture stacks vs XLA backend.
+    cfg, dyn = scene._prepare()
+    cfg_p = dataclasses.replace(cfg, backend="pallas", pallas_interpret=True,
+                                tex_kernel=True)
+    f_p = np.asarray(render_frame(cfg_p, dyn)[0])
+    f_x = np.asarray(render_frame(cfg, dyn)[0])
+    same = (f_p == f_x).all(axis=-1).mean()
+    assert same >= 0.9999, f"pallas vs xla: only {same:.4%} identical"

@@ -972,6 +972,11 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     # is a multiple of 128" for any lane-indexed variant), and lane-block 1
     # over a T-lane array violates the divisibility rule. Tried and
     # reverted (round 4): idx as (C, chunk, T) with per-tile lane blocks.
+    # MITIGATED (round 5): entries are sorted actives-first, so slicing the
+    # table to a static per-tile cap >= counts.max() is exact — the lax.cond
+    # below picks the smallest of three caps that covers the worst tile,
+    # shrinking the padded write 4-16x on typical frames (full-table
+    # fallback for pathological overlap).
     idx = jnp.stack(idx)[..., None]
     zscal = jnp.stack([2.0 * near * far, far + near, far - near,
                        1.0 * row0]).astype(jnp.float32)
@@ -1061,31 +1066,50 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
 
         jax.lax.fori_loop(0, count, body, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_ty, n_tx, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, 1, chunk, 1),
-                         lambda ty, tx, c, cn, s: (c, ty * n_tx + tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _Q_COLS), lambda ty, tx, c, cn, s: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_STEN_TH, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_STEN_TH, TILE_W), lambda ty, tx, c, cn, s: (ty, tx),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    (stencil,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_ty * _STEN_TH, n_tx * TILE_W), jnp.int32),
-        ],
-        interpret=interpret,
-    )(counts.reshape(-1), zscal, idx, qdata, zb_pad)
+    def call(cap):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_ty, n_tx, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, 1, cap, 1),
+                             lambda ty, tx, c, cn, s: (c, ty * n_tx + tx,
+                                                       0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, _Q_COLS),
+                             lambda ty, tx, c, cn, s: (c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_STEN_TH, TILE_W),
+                             lambda ty, tx, c, cn, s: (ty, tx),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_STEN_TH, TILE_W),
+                             lambda ty, tx, c, cn, s: (ty, tx),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        def run(_):
+            (stencil,) = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_ty * _STEN_TH, n_tx * TILE_W),
+                                         jnp.int32),
+                ],
+                interpret=interpret,
+            )(counts.reshape(-1), zscal, idx[:, :, :cap, :], qdata, zb_pad)
+            return stencil
+        return run
+
+    caps = sorted({c for c in (1024, chunk // 4, chunk)
+                   if 0 < c <= chunk})
+    branch = call(caps[-1])
+    maxc = counts.max()
+    for cap in reversed(caps[:-1]):
+        branch = (lambda cap_, small, big:
+                  lambda _: jax.lax.cond(maxc <= cap_, small, big, None))(
+                      cap, call(cap), branch)
+    stencil = branch(None)
     return stencil[:height, :width]
 
 
@@ -1858,15 +1882,19 @@ def _sample_half(sdata_ref, f, wb, wn, nwc, kmask, th, tw, rbase,
         g_ngr = (wordg >> _WG_NGR) & 0xFF
         g_ngc = wordg & 0x3F
 
-    # Single-period negative wrap (numpy fancy-indexing semantics): legal
-    # reference UVs put the truncated index in (-dim, dim), where one
-    # conditional add is bit-identical to the floor-mod the XLA path uses
-    # (floor(x/dim) is exactly -1 or 0 there) and skips two f32 divides.
-    cf = jnp.trunc(jnp.clip(iu_s, max=1.0) * (twf - 1.0)).astype(jnp.int32)
-    col = cf + tw * (cf < 0)
-    rf = jnp.trunc((1.0 - jnp.clip(iv_s, max=1.0))
-                   * (thf - 1.0)).astype(jnp.int32)
-    row = rf + th * (rf < 0)
+    # Full floor-mod wrap — the EXACT pipeline._wrap_index expression, so
+    # texel indices match the XLA gather path bit-for-bit at ANY magnitude.
+    # A single-period conditional add (one add instead of two divides) is
+    # equivalent only for truncated indices in (-dim, dim); extreme-
+    # perspective faces (a floor receding to the horizon) interpolate UVs
+    # several periods out of range at far pixels, where the single wrap
+    # left the index negative, no window visit covered it, and the pixel
+    # silently kept its base color (the round-5 crowd-scene 0.9669
+    # pallas_xla_match — 34k unsampled floor pixels).
+    ci = jnp.trunc(jnp.clip(iu_s, max=1.0) * (twf - 1.0))
+    col = (ci - twf * jnp.floor(ci / twf)).astype(jnp.int32)
+    ri = jnp.trunc((1.0 - jnp.clip(iv_s, max=1.0)) * (thf - 1.0))
+    row = (ri - thf * jnp.floor(ri / thf)).astype(jnp.int32)
 
     def process_window(wv, rel_r, rel_c):
         """Sample every kind plane of one window over the pixel slab."""

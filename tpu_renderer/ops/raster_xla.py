@@ -60,25 +60,29 @@ def face_fragments(face, rows, cols, with_clip_test):
     cov = inside & window & face["valid"]
 
     if with_clip_test:
-        # Perspective-corrected weights (reference core.py:155-160): 1/w-scaled
-        # barycentric renormalized by the interpolated 1/w.
+        # Linearized perspective-corrected clip test — the EXACT expressions
+        # the Pallas kernel evaluates (raster_pallas._face_tile_cov), term
+        # order included, so the backends stay bit-identical even at the
+        # S -> 0 horizon where the reference's divide form (core.py:155-160,
+        # pb_j = u*iw_j/S then -w < x,y,z < w) rounds differently:
+        # cond_j / S > 0  <=>  (q_j > 0) == (S > 0), q_j the interpolated
+        # inv_w-scaled plane e[i, j] = iw_i * (x_i+w_i, w_i-x_i, ...).
+        # S == 0 makes the reference's weights NaN -> every comparison
+        # false -> dropped; ok = (S != 0) reproduces that exactly.
         iw = face["inv_w"]
         sw = u * iw[0] + v * iw[1] + w * iw[2]
-        pb0 = u * iw[0] / sw
-        pb1 = v * iw[1] / sw
-        pb2 = w * iw[2] / sw
-        ok = jnp.ones_like(cov)
+        ok = sw != 0
         spaces = [face["clip"]]
         if "clip_dbg" in face:
             spaces.append(face["clip_dbg"])
         for cs in spaces:
-            cxp = pb0 * cs[0, 0] + pb1 * cs[1, 0] + pb2 * cs[2, 0]
-            cyp = pb0 * cs[0, 1] + pb1 * cs[1, 1] + pb2 * cs[2, 1]
-            czp = pb0 * cs[0, 2] + pb1 * cs[1, 2] + pb2 * cs[2, 2]
-            cwp = pb0 * cs[0, 3] + pb1 * cs[1, 3] + pb2 * cs[2, 3]
-            ok &= ((-cwp < cxp) & (cxp < cwp) &
-                   (-cwp < cyp) & (cyp < cwp) &
-                   (-cwp < czp) & (czp < cwp))
+            x_, y_, z_, w_ = cs[:, 0], cs[:, 1], cs[:, 2], cs[:, 3]
+            conds = jnp.stack([x_ + w_, w_ - x_, y_ + w_, w_ - y_,
+                               z_ + w_, w_ - z_], axis=-1)      # (3, 6)
+            e = conds * iw[:, None]
+            for j in range(6):
+                q = u * e[0, j] + v * e[1, j] + w * e[2, j]
+                ok &= (q > 0) == (sw > 0)
         # Models with clip=False skip the test (reference triangular.py:80).
         cov &= ok | ~face["clip_en"]
 
