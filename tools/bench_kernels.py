@@ -76,6 +76,7 @@ def main():
     @jax.jit
     def quads(d, cm):
         screen, counts, ok, n_sil, cap = prepare_quads(cfg, d, cm)
+        cap = max(cap)  # largest compaction level (tuple since r5)
         return screen[:cap], counts[:cap], ok[:cap]
     screen, qcounts, qok = jax.tree_util.tree_map(
         jnp.asarray, quads(dyn, cam_m))

@@ -44,10 +44,14 @@ for cam_h in (4.5, 1.5):
         zb_sign, tid = rp.visibility_pallas(faces, height, width, sign,
                                             bins=bins[:2])
         keep = rp.phase1_keep(faces, zb_sign, height, width, sign)
+        bins1 = rp.face_bins(faces, height, width, keep=keep)
+        visits0 = bins[0].sum()
+        visits1 = bins1[0].sum()
         valid = faces["valid"]
         # Stencil side: quads after compaction, then bin counts.
         prepared = prepare_quads(cfg, d, cam_m)
         screen, counts_q, ok, n_sil, sil_cap = prepared
+        sil_cap = max(sil_cap)
         scr = screen[:sil_cap]
         qdata, qi = rp.pack_quads(scr, counts_q[:sil_cap], ok[:sil_cap],
                                   height, width, d["camera"]["near"],
@@ -74,12 +78,13 @@ for cam_h in (4.5, 1.5):
                                    far=d["camera"]["far"])
             bc.append(cnt)
         bc = jnp.stack(bc)
-        return (keep.sum(), valid.sum(), keep.shape[0], n_sil,
+        return ((keep & valid).sum(), valid.sum(), visits0, visits1, n_sil,
                 jnp.int32(e0), bc.max(), bc.mean(), jnp.int32(chunk))
 
     out = [np.asarray(x) for x in stats(dyn)]
-    kept, valid, total, n_sil, e0, bmax, bmean, chunk = out
+    kept, valid, v0, v1, n_sil, e0, bmax, bmean, chunk = out
     print(f"cam_h={cam_h}: keep {int(kept)}/{int(valid)} valid "
-          f"({int(kept)/max(int(valid),1):.1%}) of {int(total)} padded | "
+          f"({int(kept)/max(int(valid),1):.1%}) | phase1 visits "
+          f"{int(v0)} -> {int(v1)} ({int(v1)/max(int(v0),1):.1%}) | "
           f"n_sil={int(n_sil)} quad_rows={int(e0)} chunk={int(chunk)} "
-          f"bin counts max={int(bmax)} mean={float(bmean):.1f}")
+          f"sten-bin counts max={int(bmax)} mean={float(bmean):.1f}")

@@ -40,6 +40,7 @@ def main():
         bins = rp.face_bins(faces, H, W)
         zb_sign, tid = rp.visibility_pallas(faces, H, W, sign, bins=bins[:2])
         screen, counts, ok, n_sil, cap = prepare_quads(cfg, d, cam_m)
+        cap = max(cap)  # largest compaction level (tuple since r5)
         qdata, qi = rp.pack_quads(screen[:cap], counts[:cap], ok[:cap],
                                   H, W, d["camera"]["near"],
                                   d["camera"]["far"])

@@ -36,6 +36,7 @@ def main():
         bins = rp.face_bins(faces, H, W)
         zb_sign, tid = rp.visibility_pallas(faces, H, W, sign, bins=bins[:2])
         screen, counts, ok, n_sil, cap = prepare_quads(cfg, d, cam_m)
+        cap = max(cap)  # largest compaction level (tuple since r5)
         return cam_m, zb_sign, screen, counts, ok, n_sil, cap
 
     cam_m, zb_sign, screen, counts, ok, n_sil, cap = setup(dyn)

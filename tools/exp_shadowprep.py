@@ -41,6 +41,7 @@ def main():
         _, zbuf, _, _ = pp.render_frame(cfg, d)
         prepared = prepare_quads(cfg, d, cam_m)
         screen, counts, ok, n_sil, sil_cap = prepared
+        sil_cap = max(sil_cap)  # largest compaction level (tuple since r5)
         return screen[:sil_cap], counts[:sil_cap], ok[:sil_cap], zbuf, n_sil
 
     screen, counts, ok, zbuf, n_sil = jax.tree_util.tree_map(

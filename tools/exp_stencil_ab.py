@@ -54,6 +54,7 @@ def main():
             faces, H, W, sign, bins=bins[:2])
         zbuf = zb_sign * sign
         screen, counts, ok, n_sil, sil_cap = prepare_quads(cfg, d, cam_m)
+        sil_cap = max(sil_cap)  # largest compaction level (tuple since r5)
         return (zbuf, screen[:sil_cap], counts[:sil_cap], ok[:sil_cap])
 
     zbuf, screen, counts, ok = jax.tree_util.tree_map(jnp.asarray, setup(dyn))

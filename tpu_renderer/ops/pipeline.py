@@ -882,19 +882,23 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                                           row0=row0, zb_sign=zb_sign)
 
                 if sil_cap is not None:
-                    # prepare_quads compacted silhouettes into rows [:cap]
-                    # (per shard) whenever n_sil <= cap * n_shards: pack +
-                    # bin + rasterize only that prefix (the quad table is
-                    # ~5x the silhouette count, and binning/packing cost
-                    # scales with rows). The full-table branch covers
-                    # pathological frames.
+                    # prepare_quads compacted silhouettes into rows [:c]
+                    # (per shard) for the smallest cap level c with
+                    # n_sil <= c * n_shards: pack + bin + rasterize only
+                    # that prefix (the quad table is ~5x the silhouette
+                    # count, and binning/packing/bin-table cost scales with
+                    # rows — the crowd scene's n_sil fits cap1, 40% fewer
+                    # rows than the outer cap). The full-table branch
+                    # covers pathological frames.
                     n_sh = jax.lax.axis_size(axis_tris) if axis_tris else 1
-                    stencil = jax.lax.cond(
-                        n_sil <= sil_cap * n_sh,
-                        lambda _: _stencil_for(screen[:sil_cap],
-                                               counts[:sil_cap],
-                                               ok[:sil_cap]),
-                        lambda _: _stencil_for(screen, counts, ok), None)
+                    branch = lambda _: _stencil_for(screen, counts, ok)
+                    for cap_k in reversed(sil_cap):
+                        branch = (lambda ck, big: lambda _: jax.lax.cond(
+                            n_sil <= ck * n_sh,
+                            lambda __: _stencil_for(screen[:ck],
+                                                    counts[:ck], ok[:ck]),
+                            big, None))(cap_k, branch)
+                    stencil = branch(None)
                 else:
                     stencil = _stencil_for(screen, counts, ok)
                 if axis_tris:

@@ -737,6 +737,12 @@ _STEN_TH = int(__import__("os").environ.get("STEN_TH", 128))
 #: never sees it.
 _STEN_SUB = int(__import__("os").environ.get("STEN_SUB", 32))
 
+#: Row bound for the single-table stencil path (qdata fully VMEM-resident,
+#: one global entry sort per tile, no chunk grid dim): 64k quads x 512 B =
+#: 32 MB of VMEM under the raised 80 MB limit. Larger quad tables fall back
+#: to the chunked-grid path.
+_STEN_GLOBAL_ROWS = int(__import__("os").environ.get("STEN_GLOBAL", 65536))
+
 #: Textured-face budget for the sampler's SMEM scalar words. Each textured
 #: face rides 2 i32 words (word2 + wordg; 4 with a second shape group) in
 #: the scalar-prefetch vector next to the bin counts. MEASURED on v5e
@@ -748,8 +754,17 @@ SMEM_FACE_CAP = int(__import__("os").environ.get(
     "TPU_RENDERER_SMEM_CAP", 160 * 1024))
 
 
+#: Stencil bin-entry layout: sort key (no-overlap last) at bit 30, QUAD
+#: index (chunk-local or global, see stencil_pallas's global path) in bits
+#: [8:30), nverts [4:8), front [3]. With the key set and q at the 22-bit
+#: maximum the entry is exactly 2^31 - 1 — the packing cannot widen.
+_QENT_Q = 8
+_QENT_QMASK = (1 << 22) - 1
+assert (1 << _BIN_KEY) + (_QENT_QMASK << _QENT_Q) + 0xFF == 2 ** 31 - 1
+
+
 def _bin_quads(qdata, qi, height, width, zmax_sub=None, sign=1,
-               near=None, far=None, row0=0):
+               near=None, far=None, row0=0, q_base=0, sort=True):
     """Quad/tile lists with exact convex-coverage and z-occlusion pruning.
 
     Extruded shadow quads are long screen-space slivers: their bbox (the
@@ -852,12 +867,15 @@ def _bin_quads(qdata, qi, height, width, zmax_sub=None, sign=1,
     counts = overlap.sum(axis=1, dtype=jnp.int32)
     # Packed entries like the face bins: key (bit 30, no-overlap last) above
     # quad index above nverts/front — one sort compacts in quad order, and
-    # the kernel decodes everything from one scalar read.
-    pay = ((jnp.arange(e, dtype=jnp.int32) << _BIN_F)
+    # the kernel decodes everything from one scalar read. ``q_base`` offsets
+    # the index into a global quad id (the single-table stencil path);
+    # ``sort=False`` returns raw entries for a caller-side global sort.
+    pay = (((jnp.arange(e, dtype=jnp.int32) + q_base) << _QENT_Q)
            | (jnp.clip(qi[:, 4], 0, 15) << 4) | (qi[:, 6] << 3))
     entries = pay[None, :] + ((~overlap).astype(jnp.int32) << _BIN_KEY)
-    idx = jax.lax.sort(entries, dimension=1)
-    return counts, idx
+    if sort:
+        entries = jax.lax.sort(entries, dimension=1)
+    return counts, entries
 
 
 def pack_quads(screen, counts, ok, height, width, near, far):
@@ -955,15 +973,23 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     sub = min(_STEN_SUB, _STEN_TH)
     zmax_sub = jnp.where(finite, zb_pad, -jnp.inf).reshape(
         n_ty * (_STEN_TH // sub), sub, n_tx, TILE_W).max(axis=(1, 3))
-    counts, idx = [], []
+    # The single-table ("global") path: bin each chunk raw with GLOBAL quad
+    # ids, concatenate, one actives-first sort per tile, and hand the kernel
+    # the WHOLE qdata as a resident VMEM block (no chunk grid dim). The
+    # forced lane-padding of the entry table (below) then pays cap x T once
+    # instead of chunk x T x n_chunks — at the 100k-face crowd scene that is
+    # ~1 GB -> ~0.2 GB of HBM writes. Gated on qdata fitting VMEM.
+    use_global = e <= _STEN_GLOBAL_ROWS
+    counts_l, idx_l = [], []
     for c in range(n_chunks):
         sl = slice(c * chunk, (c + 1) * chunk)
         cnt, ix = _bin_quads(qdata[sl], qi[sl], height, width,
                              zmax_sub=zmax_sub, sign=sign,
-                             near=near, far=far, row0=row0)
-        counts.append(cnt)
-        idx.append(ix)
-    counts = jnp.stack(counts)
+                             near=near, far=far, row0=row0,
+                             q_base=c * chunk if use_global else 0,
+                             sort=not use_global)
+        counts_l.append(cnt)
+        idx_l.append(ix)
     # The trailing unit LANE dim makes XLA pad this array to 128 lanes in
     # HBM — at 28k quads x 64 tiles the materialization alone costs
     # ~2.8 ms/frame (a ~1 GB write). It is FORCED: the kernel iterates
@@ -972,12 +998,18 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
     # is a multiple of 128" for any lane-indexed variant), and lane-block 1
     # over a T-lane array violates the divisibility rule. Tried and
     # reverted (round 4): idx as (C, chunk, T) with per-tile lane blocks.
-    # MITIGATED (round 5): entries are sorted actives-first, so slicing the
-    # table to a static per-tile cap >= counts.max() is exact — the lax.cond
-    # below picks the smallest of three caps that covers the worst tile,
-    # shrinking the padded write 4-16x on typical frames (full-table
-    # fallback for pathological overlap).
-    idx = jnp.stack(idx)[..., None]
+    # MITIGATED (round 5): the global path pays it once per tile, and the
+    # entries are sorted actives-first, so slicing the table to a static
+    # per-tile cap >= counts.max() is exact — the lax.cond below picks the
+    # smallest cap level that covers the worst tile (full-table fallback
+    # for pathological overlap).
+    if use_global:
+        counts = sum(counts_l)                               # (T,)
+        entries = jnp.concatenate(idx_l, axis=1)             # (T, e)
+        idx = jax.lax.sort(entries, dimension=1)[..., None]  # (T, e, 1)
+    else:
+        counts = jnp.stack(counts_l)                         # (C, T)
+        idx = jnp.stack(idx_l)[..., None]                    # (C, T, ch, 1)
     zscal = jnp.stack([2.0 * near * far, far + near, far - near,
                        1.0 * row0]).astype(jnp.float32)
 
@@ -985,8 +1017,11 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                st_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        c = pl.program_id(2)
-        count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
+        if use_global:
+            count = counts_ref[ty * n_tx + tx]
+        else:
+            c = pl.program_id(2)
+            count = counts_ref[c * (n_ty * n_tx) + ty * n_tx + tx]
         nf2 = zscal_ref[0]
         fpn = zscal_ref[1]
         fmn = zscal_ref[2]
@@ -997,13 +1032,19 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (_STEN_TH, TILE_W), 1).astype(jnp.float32) + x0
 
-        @pl.when(c == 0)
-        def _():
+        if use_global:
             st_ref[:] = jnp.zeros((_STEN_TH, TILE_W), jnp.int32)
+        else:
+            @pl.when(pl.program_id(2) == 0)
+            def _():
+                st_ref[:] = jnp.zeros((_STEN_TH, TILE_W), jnp.int32)
 
         def body(k, _):
-            e_ent = idx_ref[0, 0, k, 0]
-            q = (e_ent >> _BIN_F) & _BIN_FMASK
+            if use_global:
+                e_ent = idx_ref[0, k, 0]
+            else:
+                e_ent = idx_ref[0, 0, k, 0]
+            q = (e_ent >> _QENT_Q) & _QENT_QMASK
             nverts = (e_ent >> 4) & 0xF
             front = (e_ent & 8) > 0
             co = _face_row(qdata_ref, q, (_STEN_TH, TILE_W))
@@ -1067,27 +1108,55 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
         jax.lax.fori_loop(0, count, body, 0)
 
     def call(cap):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_ty, n_tx, n_chunks),
-            in_specs=[
-                pl.BlockSpec((1, 1, cap, 1),
-                             lambda ty, tx, c, cn, s: (c, ty * n_tx + tx,
-                                                       0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, _Q_COLS),
-                             lambda ty, tx, c, cn, s: (c, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_STEN_TH, TILE_W),
-                             lambda ty, tx, c, cn, s: (ty, tx),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((_STEN_TH, TILE_W),
-                             lambda ty, tx, c, cn, s: (ty, tx),
-                             memory_space=pltpu.VMEM),
-            ],
-        )
+        if use_global:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_ty, n_tx),
+                in_specs=[
+                    pl.BlockSpec((1, cap, 1),
+                                 lambda ty, tx, cn, s: (ty * n_tx + tx,
+                                                        0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((e, _Q_COLS),
+                                 lambda ty, tx, cn, s: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_STEN_TH, TILE_W),
+                                 lambda ty, tx, cn, s: (ty, tx),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((_STEN_TH, TILE_W),
+                                 lambda ty, tx, cn, s: (ty, tx),
+                                 memory_space=pltpu.VMEM),
+                ],
+            )
+            args = lambda: (counts, zscal, idx[:, :cap, :], qdata, zb_pad)
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_ty, n_tx, n_chunks),
+                in_specs=[
+                    pl.BlockSpec((1, 1, cap, 1),
+                                 lambda ty, tx, c, cn, s: (c,
+                                                           ty * n_tx + tx,
+                                                           0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((chunk, _Q_COLS),
+                                 lambda ty, tx, c, cn, s: (c, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((_STEN_TH, TILE_W),
+                                 lambda ty, tx, c, cn, s: (ty, tx),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((_STEN_TH, TILE_W),
+                                 lambda ty, tx, c, cn, s: (ty, tx),
+                                 memory_space=pltpu.VMEM),
+                ],
+            )
+            args = lambda: (counts.reshape(-1), zscal, idx[:, :, :cap, :],
+                            qdata, zb_pad)
+
         def run(_):
             (stencil,) = pl.pallas_call(
                 kernel,
@@ -1097,12 +1166,22 @@ def stencil_pallas(qdata, qi, zbuf, height, width, sign, near, far,
                                          jnp.int32),
                 ],
                 interpret=interpret,
-            )(counts.reshape(-1), zscal, idx[:, :, :cap, :], qdata, zb_pad)
+                # qdata rides fully VMEM-resident on the global path
+                # (~0.5 KB/quad); the 16 MB scoped default is a compiler
+                # guard (v5e has 128 MB).
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=80 * 2 ** 20),
+            )(*args())
             return stencil
         return run
 
-    caps = sorted({c for c in (1024, chunk // 4, chunk)
-                   if 0 < c <= chunk})
+    if use_global:
+        cap_top = e
+        cap_opts = (1024, 2048, 4096, 8192, 16384)
+    else:
+        cap_top = chunk
+        cap_opts = (1024, chunk // 4)
+    caps = sorted({c for c in cap_opts if 0 < c < cap_top} | {cap_top})
     branch = call(caps[-1])
     maxc = counts.max()
     for cap in reversed(caps[:-1]):

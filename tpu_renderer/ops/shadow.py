@@ -218,14 +218,15 @@ def _quad_fragments(poly, count, ok, zb_sign, rows, cols, sign, near, far,
 def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
     """Silhouette -> extruded quads -> world clip -> screen projection.
 
-    Returns (screen (L, QUAD_PMAX, 4), counts (L,), ok (L,), n_sil, cap) or
-    None when no model casts shadows; ``n_sil`` is the traced GLOBAL
-    silhouette count and ``cap`` the static per-shard compaction capacity
-    (silhouette rows live in ``screen[:cap]`` whenever
-    ``n_sil <= cap * n_shards``; None when compaction didn't apply). Shared
-    by the XLA scan rasterizer below and the Pallas stencil kernel
-    (ops/raster_pallas.py), which use (n_sil, cap) to run their binning +
-    rasterization on the compact prefix.
+    Returns (screen (L, QUAD_PMAX, 4), counts (L,), ok (L,), n_sil, caps)
+    or None when no model casts shadows; ``n_sil`` is the traced GLOBAL
+    silhouette count and ``caps`` an ascending tuple of static per-shard
+    compaction capacities (silhouette rows live in ``screen[:c]`` for the
+    smallest level c with ``n_sil <= c * n_shards``; None when compaction
+    didn't apply). Shared by the XLA scan rasterizer below and the Pallas
+    stencil kernel (ops/raster_pallas.py), whose callers pick the smallest
+    covering level with a nested lax.cond so binning + rasterization run on
+    the tightest compact prefix.
 
     With ``axis_name`` set (triangle sharding), the returned tables are
     per-shard: the globally-identical silhouette-first order (parity counts
@@ -330,10 +331,12 @@ def prepare_quads(cfg, dyn, cam_m, axis_name=None, shard_idx=0):
             n_sil <= cap1, compact_path(cap1),
             lambda _: jax.lax.cond(n_sil <= cap, compact_path(cap),
                                    full_path, None), None)
+        sil_caps = (cap1 // n_sh, cap // n_sh)
     else:
         screen, counts, ok = jax.lax.cond(
             n_sil <= cap, compact_path(cap), full_path, None)
-    return screen, counts, ok, n_sil, cap // n_sh
+        sil_caps = (cap // n_sh,)
+    return screen, counts, ok, n_sil, sil_caps
 
 
 def shadow_stencil(cfg, dyn, cam_m, zbuf, row0=0, quad_slice=None,
