@@ -359,8 +359,16 @@ def _visit_claim(fdata_ref, f, flags, rows, cols, with_debug, apply):
 #: (1 VREG) are ~17% SLOWER end-to-end (69.7 vs 83.6 fps at 1024^2) —
 #: per-slab fixed overhead (bin decode, branches, slab setup) dominates the
 #: saved VPU lanes, and boundary-crossing visits double; 16 is the optimum.
-_FSLAB = 16
+#: Face-kernel slab height (rows per bbox slab of a visit). The bin entry
+#: stores s_base at 8-row granularity (_BIN_SB) and a 3-bit count, so 8 and
+#: 16 both pack. MEASURED (round 5, tools/exp_crowd_budget.py FSLAB=8 on
+#: the 100k crowd): visibility 13.4 vs 12.9 ms, phase-1 40.3 vs 40.6,
+#: full frame 87.4 vs 87.2 — a wash; per-visit cost is scalar/broadcast
+#: bound, not masked-RMW-volume bound (the sampler already half-slab
+#: dispatches to 8 rows). 16 stays the default; env knob for experiments.
+_FSLAB = int(__import__("os").environ.get("FSLAB", 16))
 _FSLAB_SHIFT = _FSLAB.bit_length() - 1
+assert _FSLAB in (8, 16), "slab height must divide the 8-aligned s_base"
 
 
 def _decode_bin(e):
@@ -764,7 +772,8 @@ assert (1 << _BIN_KEY) + (_QENT_QMASK << _QENT_Q) + 0xFF == 2 ** 31 - 1
 
 
 def _bin_quads(qdata, qi, height, width, zmax_sub=None, sign=1,
-               near=None, far=None, row0=0, q_base=0, sort=True):
+               near=None, far=None, row0=0, q_base=0, sort=True,
+               debug_keep=False):
     """Quad/tile lists with exact convex-coverage and z-occlusion pruning.
 
     Extruded shadow quads are long screen-space slivers: their bbox (the
@@ -858,6 +867,19 @@ def _bin_quads(qdata, qi, height, width, zmax_sub=None, sign=1,
                           1e-6 * (jnp.abs(zmax) + 1.0), 0.0)
         pruned = safe[None, None] & no_pole & (zs_min > zmax + slack)
         keep &= ~pruned
+
+    if debug_keep:
+        # Instrumentation (tools/exp_stenband.py): per-sub-slab keep with
+        # the bbox-x / validity terms folded in. Band statistics measured
+        # with it (round 5): mean covered band 2.1 of 4 sub-slab groups on
+        # the crowd scene — but restricting the kernel's vector work to
+        # the covered band measured 32% SLOWER than the full-tile sweep
+        # (static 4-way pl.when gating AND the _for_each_slab-style
+        # dynamic-offset form): at a 2x row saving the scalar-gated
+        # slicing stalls Mosaic's straight-line pipeline. Tried and
+        # reverted; the face kernels' slab machinery wins only because its
+        # row saving is ~64x.
+        return (keep & ov_x[None, :, :] & (qi[:, 5] > 0)[None, None, :])
 
     # A tile keeps a quad iff ANY sub-slab keeps it.
     overlap = keep.reshape(n_ty, S, n_tx, e).any(axis=1)
