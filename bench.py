@@ -250,24 +250,35 @@ def _bench_scene(name, scene, n=15, animate=None):
     cfg, dyn = scene._prepare()
 
     @jax.jit
-    def step(d, pos):
-        d = dict(d, camera=dict(d["camera"], position=pos))
-        return render_frame(cfg, d)[0]
+    def burst(d, poss):
+        # The n-frame loop in ONE dispatch (lax.scan over camera
+        # positions) — the same device-throughput method as main()'s
+        # headline: the per-dispatch loop additionally pays the axon
+        # tunnel's enqueue overhead (~1.3 ms/frame at diablo scale, ~10 ms
+        # at the 100k-face crowd program — a dev-environment artifact, not
+        # renderer cost). Each frame is consumed by a full checksum so XLA
+        # can neither DCE a frame nor narrow its shading.
+        def body(carry, pos):
+            di = dict(d, camera=dict(d["camera"], position=pos))
+            f = render_frame(cfg, di)[0]
+            return carry, jnp.sum(f, dtype=jnp.uint32)
+        _, sums = jax.lax.scan(body, jnp.uint32(0), poss)
+        return sums
 
     pos0 = jnp.asarray(scene.camera.position, jnp.float32)
     positions = (animate(n) if animate
                  else jnp.broadcast_to(pos0, (n, 3)))
-    np.asarray(step(dyn, positions[0]))
-    # 3 rounds, best + median — one round is NOT enough: the first pipelined
-    # batch after compile pays a one-time ~0.4 s cost (axon tunnel
-    # flow-control; tools/exp_config1b.py: 31.7 ms/frame round 0 vs 4.1 ms
-    # rounds 1+ on the same input buffers), which once mis-read as a
-    # "config 1 collapsed to 31 fps" regression.
+    np.asarray(burst(dyn, positions))
+    # 6 rounds, best + median — one round is NOT enough: the first batch
+    # after compile pays a one-time ~0.4 s cost (axon tunnel flow-control;
+    # tools/exp_config1b.py: 31.7 ms/frame round 0 vs 4.1 ms rounds 1+ on
+    # the same input buffers), which once mis-read as a "config 1
+    # collapsed to 31 fps" regression.
     rounds = []
     for _ in range(6):
         t0 = time.time()
-        frames = [step(dyn, positions[i]) for i in range(n)]
-        np.asarray(frames[-1][:8, :128])
+        sums = burst(dyn, positions)
+        np.asarray(sums)
         rounds.append((time.time() - t0) / n)
     # Round 0 is excluded from the stats (but kept in round_fps): the first
     # pipelined batch after compile pays the one-time axon flow-control cost
@@ -285,6 +296,7 @@ def _bench_scene(name, scene, n=15, animate=None):
            "median_fps": round(1.0 / median_dt, 2),
            "mtri_per_s": round(faces * fps / 1e6, 3),
            "noise": round((max(timed) - min(timed)) / median_dt, 3),
+           "method": "orbit burst (lax.scan), round 0 dropped",
            "round_fps": [round(1.0 / r, 1) for r in rounds]}
     print(json.dumps(row))
     return row

@@ -125,6 +125,61 @@ def main():
             return st[0, 0] + tid[0, 0]
         return fn
 
+    def bins_stage():
+        """setup + vis + pack + the stencil call's XLA prep (bin each chunk
+        raw, concat, global sort, cap-slice) WITHOUT the kernel — the wall
+        split of stencil_pallas's ~26 ms into prep vs kernel."""
+        from tpu_renderer.ops.shadow import prepare_quads
+
+        def fn(d, bump):
+            cam = dict(d["camera"], position=d["camera"]["position"] + bump)
+            d = dict(d, camera=cam)
+            cam_m = pp._cam_matrices(cfg, d["camera"],
+                                     cfg.cam_projection_type)
+            faces, attrs = pp._build_face_batch(cfg, d, cam_m, None)
+            bins = rp.face_bins(faces, H, W,
+                                with_debug=cfg.has_debug_camera)
+            zb_sign, tid = rp.visibility_pallas(
+                faces, H, W, sign, with_debug=cfg.has_debug_camera,
+                bins=bins[:2])
+            screen, counts_q, ok, n_sil, sil_cap = prepare_quads(cfg, d,
+                                                                 cam_m)
+            cap0 = max(sil_cap)
+            qdata, qi = rp.pack_quads(screen[:cap0], counts_q[:cap0],
+                                      ok[:cap0], H, W, d["camera"]["near"],
+                                      d["camera"]["far"])
+            e0 = qdata.shape[0]
+            chunk = min(rp.FACE_CHUNK, -(-e0 // 128) * 128)
+            qd = rp._pad_rows_to(qdata, chunk)
+            qip = rp._pad_rows_to(qi, chunk)
+            n_ty = -(-H // rp._STEN_TH)
+            n_tx = -(-W // rp.TILE_W)
+            zb_pad = jnp.full((n_ty * rp._STEN_TH, n_tx * rp.TILE_W),
+                              jnp.inf, jnp.float32
+                              ).at[:H, :W].set(zb_sign * sign)
+            finite = zb_pad < 3e38
+            sub = min(rp._STEN_SUB, rp._STEN_TH)
+            zmax_sub = jnp.where(finite, zb_pad, -jnp.inf).reshape(
+                n_ty * (rp._STEN_TH // sub), sub, n_tx, rp.TILE_W
+                ).max(axis=(1, 3))
+            counts_l, idx_l = [], []
+            for c in range(qd.shape[0] // chunk):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                cnt, ix = rp._bin_quads(qd[sl], qip[sl], H, W,
+                                        zmax_sub=zmax_sub, sign=sign,
+                                        near=d["camera"]["near"],
+                                        far=d["camera"]["far"],
+                                        q_base=c * chunk, sort=False)
+                counts_l.append(cnt)
+                idx_l.append(ix)
+            counts = sum(counts_l)
+            entries = jnp.concatenate(idx_l, axis=1)
+            idx = jax.lax.sort(entries, dimension=1)[..., None]
+            sliced = idx[:, :8192, :]
+            return (counts.sum() + sliced[0, 0, 0] + sliced[-1, -1, 0]
+                    + tid[0, 0])
+        return fn
+
     def gb_variant(windows_on, tables_on):
         """setup + vis + keep + gb with the sampler or gather toggled —
         how much of the gb stage is texture sampling vs interpolation."""
@@ -161,7 +216,7 @@ def main():
              ("gb", stage(3)), ("noshad", frame(cfg_ns)),
              ("full", frame(cfg)),
              ("s_prep", shadow_stage(0)), ("s_pack", shadow_stage(1)),
-             ("s_sten", shadow_stage(2)),
+             ("s_sten", shadow_stage(2)), ("s_bins", bins_stage()),
              ("gb_nosamp", gb_variant(False, False))]
     only = os.environ.get("STAGES")
     if only:
@@ -202,6 +257,8 @@ def main():
     diff("s_prep", "vis", "prepare_quads")
     diff("s_pack", "s_prep", "pack_quads")
     diff("s_sten", "s_pack", "bin+sort+stencil kernel")
+    diff("s_bins", "s_pack", "stencil XLA prep (bin+sort+slice)")
+    diff("s_sten", "s_bins", "stencil kernel alone")
     diff("gb", "gb_nosamp", "sampler share of phase 1")
 
 
