@@ -52,7 +52,9 @@ def test_split_matches_fused_and_xla(scene, monkeypatch):
     cfg_p = dataclasses.replace(cfg, backend="pallas", pallas_interpret=True,
                                 tex_kernel=True)
 
-    monkeypatch.setenv("TPU_RENDERER_SPLIT", "1")
+    monkeypatch.setenv("TPU_RENDERER_SPLIT", "2")   # force: the
+    # fixture camera culls backfaces, and the adaptive default
+    # (pipeline._split_use) fuses culled scenes
     f_split = np.asarray(render_frame(cfg_p, dyn)[0])
     monkeypatch.setenv("TPU_RENDERER_SPLIT", "0")
     f_fused = np.asarray(render_frame(cfg_p, dyn)[0])
@@ -75,7 +77,9 @@ def test_split_slim_matches_fused(scene, monkeypatch, shader):
     cfg, dyn = scene._prepare()
     cfg_p = dataclasses.replace(cfg, backend="pallas", pallas_interpret=True,
                                 shader=shader)
-    monkeypatch.setenv("TPU_RENDERER_SPLIT", "1")
+    monkeypatch.setenv("TPU_RENDERER_SPLIT", "2")   # force: the
+    # fixture camera culls backfaces, and the adaptive default
+    # (pipeline._split_use) fuses culled scenes
     f_split = np.asarray(render_frame(cfg_p, dyn)[0])
     monkeypatch.setenv("TPU_RENDERER_SPLIT", "0")
     f_fused = np.asarray(render_frame(cfg_p, dyn)[0])

@@ -545,6 +545,27 @@ def _shade_slim(cfg: SceneConfig, dyn, tid, gb, cam_m, row0=0):
     return jnp.where(bg[..., None], background, rgb)
 
 
+def _split_use(cfg, faces, env):
+    """Should the Pallas path split visibility and G-buffer into two kernels
+    with the phase1_keep z-interval prune between them?
+
+    The split pays a full extra visit pass, so it only wins when many
+    faces LOSE every pixel to overdraw. MEASURED on the 100k-face crowd
+    (tools/exp_crowd_budget.py, round 5): with backface culling the
+    phase-1 keep rate is 96-97% at both camera heights — the culled
+    losers were the overdraw — and the split costs ~1 ms/frame (87.4 vs
+    86.2 fused); with culling off half the faces lose everywhere and the
+    prune is what makes 100k-face scenes tractable. Default ("1"):
+    split iff the mesh is multi-chunk AND culling is off. Env
+    TPU_RENDERER_SPLIT: 0 = never, 2 = force.
+    """
+    from tpu_renderer.ops import raster_pallas as rp
+    if env == "2":
+        return True
+    return (env != "0" and faces["sx"].shape[0] > rp.FACE_CHUNK
+            and not cfg.backface_culling)
+
+
 def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
                 axis_rows=None, axis_tris=None):
     """Render the (possibly row/triangle-sharded) frame BEFORE flip/quantize.
@@ -641,8 +662,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         bins = face_bins(faces, local_height, width, row0=row0,
                          with_debug=cfg.has_debug_camera)
         _split_env = os.environ.get("TPU_RENDERER_SPLIT", "1")
-        if (faces["sx"].shape[0] > rp.FACE_CHUNK
-                and _split_env != "0") or _split_env == "2":
+        if _split_use(cfg, faces, _split_env):
             from tpu_renderer.ops.raster_pallas import (phase1_keep,
                                                         visibility_pallas)
             zb_sign, tid = visibility_pallas(
@@ -731,8 +751,7 @@ def render_core(cfg: SceneConfig, dyn, *, local_height=None, row0=0,
         # fused call: nearly every face wins pixels, so the prune would
         # only add its own cost.
         _split_env = os.environ.get("TPU_RENDERER_SPLIT", "1")
-        split = (faces["sx"].shape[0] > rp.FACE_CHUNK
-                 and _split_env != "0") or _split_env == "2"   # 2 = force
+        split = _split_use(cfg, faces, _split_env)
         common = dict(
             with_debug=cfg.has_debug_camera, interpret=cfg.pallas_interpret,
             with_tex_tables=needs_tables, windows=windows,
